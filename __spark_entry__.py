@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship smoke query (PageRank over the customer→supplier
+link graph derived from sf0.001).
+``queries()`` — one callable per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query (omitted for ops not
+expressible in SQL; those get rows-only checks).
+
+Column names are aligned 1:1 between each Spark query and its oracle; float
+columns are rounded identically on both sides so value hashes agree.
 """
 
 from __future__ import annotations
@@ -12,27 +15,453 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from goffish_v3_spark.sources.tpch_graph import (
+    CS_EDGES_SQL,
+    COPART_EDGES_SQL,
+    customer_supplier_edges,
+    copart_edges,
+)
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+PR_ITERS = 5
+LPA_ITERS = 4
+SSSP_CAP = 25  # > diameter of the cs graph at every sf
+
+
+# --------------------------------------------------------------------------
+# oracle SQL builders (unrolled iterations — ANSI, DuckDB-runnable)
+# --------------------------------------------------------------------------
+
+def _pagerank_sql(iters: int = PR_ITERS) -> str:
+    ctes = [
+        f"e AS ({CS_EDGES_SQL})",
+        "verts AS (SELECT src AS vid FROM e UNION SELECT dst FROM e)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts)",
+        "deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY src)",
+        "pr0 AS (SELECT vid, 1.0/(SELECT n FROM nn) AS rank FROM verts)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""pr{i} AS (
+  SELECT v.vid, 0.85 * coalesce(s.s, 0.0) + 0.15/(SELECT n FROM nn) AS rank
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS vid, sum(p.rank/d.deg) AS s
+    FROM pr{i-1} p JOIN e ON p.vid = e.src JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) s ON v.vid = s.vid
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT vid, round(rank, 8) AS rank FROM pr{iters}"
+    )
+
+
+def _lpa_sql(iters: int = LPA_ITERS) -> str:
+    ctes = [
+        f"e AS ({CS_EDGES_SQL})",
+        "und AS (SELECT src AS a, dst AS b FROM e WHERE src <> dst "
+        "UNION SELECT dst, src FROM e WHERE src <> dst)",
+        "verts AS (SELECT DISTINCT a AS vid FROM und)",
+        "l0 AS (SELECT vid, vid AS label FROM verts)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""l{i} AS (
+  SELECT w.vid, coalesce(p.plabel, w.label) AS label FROM l{i-1} w
+  LEFT JOIN (
+    SELECT vid, label AS plabel FROM (
+      SELECT u.b AS vid, l.label AS label, count(*) AS cnt,
+             row_number() OVER (PARTITION BY u.b ORDER BY count(*) DESC, l.label ASC) AS rn
+      FROM l{i-1} l JOIN und u ON l.vid = u.a
+      GROUP BY u.b, l.label
+    ) x WHERE rn = 1
+  ) p ON p.vid = w.vid
+)"""
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT vid, label FROM l{iters}"
+
+
+WCC_SQL = f"""
+WITH RECURSIVE e AS ({CS_EDGES_SQL}),
+und AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+reach(vid, r) AS (
+  SELECT a, a FROM und
+  UNION
+  SELECT u.b, reach.r FROM reach JOIN und u ON reach.vid = u.a
+)
+SELECT vid, min(r) AS label FROM reach GROUP BY vid
+"""
+
+SSSP_SQL = f"""
+WITH RECURSIVE e AS ({CS_EDGES_SQL}),
+und AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+s AS (SELECT min(src) AS sv FROM e),
+walk(vid, d) AS (
+  SELECT sv, 0 FROM s
+  UNION
+  SELECT u.b, walk.d + 1 FROM walk JOIN und u ON walk.vid = u.a
+  WHERE walk.d < {SSSP_CAP}
+)
+SELECT vid, CAST(min(d) AS DOUBLE) AS dist FROM walk GROUP BY vid
+"""
+
+TC_SQL = f"""
+WITH e AS ({COPART_EDGES_SQL})
+SELECT count(*) AS triangles
+FROM e e1 JOIN e e2 ON e1.dst = e2.src JOIN e e3
+  ON e3.src = e1.src AND e3.dst = e2.dst
+"""
+
+TC_VERTEX_SQL = f"""
+WITH e AS ({COPART_EDGES_SQL}),
+t AS (
+  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+  FROM e e1 JOIN e e2 ON e1.dst = e2.src JOIN e e3
+    ON e3.src = e1.src AND e3.dst = e2.dst
+)
+SELECT vid, count(*) AS triangles FROM (
+  SELECT u AS vid FROM t UNION ALL SELECT v FROM t UNION ALL SELECT w FROM t
+) GROUP BY vid
+"""
+
+DEGREE_HIST_SQL = f"""
+WITH e AS ({CS_EDGES_SQL})
+SELECT deg, count(*) AS n_vertices FROM (
+  SELECT src, count(*) AS deg FROM e GROUP BY src
+) GROUP BY deg
+"""
+
+GRAPH_STATS_SQL = f"""
+WITH e AS ({CS_EDGES_SQL})
+SELECT
+  (SELECT count(*) FROM (SELECT src FROM e UNION SELECT dst FROM e)) AS n_vertices,
+  (SELECT count(*) FROM e) AS n_edges,
+  (SELECT max(c) FROM (SELECT count(*) AS c FROM e GROUP BY src)) AS max_out_degree,
+  (SELECT max(c) FROM (SELECT count(*) AS c FROM e GROUP BY dst)) AS max_in_degree
+"""
+
+DOC_TOKENS_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
+       CAST(length(text) AS BIGINT) AS n_chars_calc
+FROM documents
+"""
+
+DOC_QUALITY_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars_calc,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
+         CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct
+  FROM documents
+), feat AS (
+  SELECT doc_id, n_chars_calc, n_words,
+         round((n_chars_calc - n_words + 1) / greatest(n_words, 1), 6) AS mean_word_len,
+         round(n_punct / greatest(n_chars_calc, 1), 6) AS punct_ratio
+  FROM base
+)
+SELECT doc_id, n_chars_calc, n_words, mean_word_len, punct_ratio,
+       round(
+         (CASE WHEN n_words >= 5 AND n_chars_calc >= 30 THEN 0.4 ELSE 0.0 END)
+       + (CASE WHEN punct_ratio <= 0.2 THEN 0.3 ELSE 0.0 END)
+       + (CASE WHEN mean_word_len BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END), 6
+       ) AS quality_score
+FROM feat
+"""
+
+_LANG_MARKERS_SQL = {
+    "en": "(the|and|of|to|is)",
+    "es": "(el|la|de|que|los)",
+    "de": "(der|die|und|das|nicht)",
+    "fr": "(le|la|et|les|des)",
+}
+
+LANG_ID_SQL = (
+    "WITH hits AS (\n"
+    + " UNION ALL\n".join(
+        f"  SELECT doc_id, '{lang}' AS lang, "
+        f"CAST(len(regexp_extract_all(lower(text), '\\b{pat}\\b')) AS BIGINT) AS h "
+        "FROM documents"
+        for lang, pat in sorted(_LANG_MARKERS_SQL.items())
+    )
+    + "\n), best AS (\n"
+    "  SELECT doc_id, lang, h,\n"
+    "         row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, lang ASC) AS rn\n"
+    "  FROM hits\n"
+    ")\n"
+    "SELECT doc_id, CASE WHEN h > 0 THEN lang ELSE 'und' END AS lang_pred\n"
+    "FROM best WHERE rn = 1"
+)
+
+DEDUP_EXACT_SQL = """
+SELECT sha256(text) AS content_sha, count(*) AS n_docs, min(doc_id) AS first_doc_id
+FROM documents
+GROUP BY 1
+"""
+
+ANN_TOPK_SQL = """
+WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.v, c.v), 6) AS sim
+  FROM q JOIN c ON q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, sim, rk FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rk
+  FROM scored
+) WHERE rk <= 3
+"""
+
+EVENTS_WINDOW_SQL = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+       count(*) AS n, round(sum(value), 6) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+SESSIONS_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Spark-side queries
+# --------------------------------------------------------------------------
+
+def _q_edges_cs(spark: SparkSession, sf: str) -> DataFrame:
+    return customer_supplier_edges(spark, sf)
+
+
+def _q_pagerank_cs(spark: SparkSession, sf: str) -> DataFrame:
+    from goffish_v3_spark.operators.pagerank import pagerank
+
+    e = customer_supplier_edges(spark, sf)
+    pr = pagerank(spark, e, fixed_iterations=PR_ITERS)
+    return pr.select("vid", F.round("rank", 8).alias("rank"))
+
+
+def _q_wcc_cs(spark: SparkSession, sf: str) -> DataFrame:
+    from goffish_v3_spark.operators.wcc import wcc
+
+    e = customer_supplier_edges(spark, sf)
+    und = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w"))
+    return wcc(spark, und, num_parts=8)
+
+
+def _q_lpa_cs(spark: SparkSession, sf: str) -> DataFrame:
+    from goffish_v3_spark.operators.lpa import lpa
+
+    e = customer_supplier_edges(spark, sf)
+    return lpa(spark, e, fixed_iterations=LPA_ITERS)
+
+
+def _q_sssp_cs(spark: SparkSession, sf: str) -> DataFrame:
+    from goffish_v3_spark.operators.sssp import sssp
+
+    e = customer_supplier_edges(spark, sf)
+    source = e.agg(F.min("src")).collect()[0][0]
+    d = sssp(spark, e, source=source, weighted=False, directed=False)
+    return d.select("vid", "dist")
+
+
+def _q_tc_copart(spark: SparkSession, sf: str) -> DataFrame:
+    from goffish_v3_spark.operators.triangles import triangle_count_df
+
+    return triangle_count_df(copart_edges(spark, sf))
+
+
+def _q_tc_vertex_copart(spark: SparkSession, sf: str) -> DataFrame:
+    from goffish_v3_spark.operators.triangles import triangles_per_vertex
+
+    return triangles_per_vertex(copart_edges(spark, sf))
+
+
+def _q_degree_hist_cs(spark: SparkSession, sf: str) -> DataFrame:
+    from goffish_v3_spark.operators.stats import degree_histogram
+
+    return degree_histogram(customer_supplier_edges(spark, sf))
+
+
+def _q_graph_stats_cs(spark: SparkSession, sf: str) -> DataFrame:
+    e = customer_supplier_edges(spark, sf).persist()
+    nv = (
+        e.select(F.col("src").alias("v")).unionByName(e.select(F.col("dst").alias("v")))
+        .distinct()
+        .count()
+    )
+    ne = e.count()
+    mo = e.groupBy("src").count().agg(F.max("count")).collect()[0][0]
+    mi = e.groupBy("dst").count().agg(F.max("count")).collect()[0][0]
+    e.unpersist()
+    return spark.createDataFrame(
+        [(nv, ne, mo, mi)],
+        "n_vertices long, n_edges long, max_out_degree long, max_in_degree long",
+    )
+
+
+def _q_kcore_copart(spark: SparkSession, sf: str) -> DataFrame:
+    from goffish_v3_spark.operators.kcore import k_core
+
+    return k_core(spark, copart_edges(spark, sf), k=3)
+
+
+def _q_repo_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Flagship (north_rule): synthetic repos → ingest → PageRank → top files.
+
+    Rows-only check: the repos table is generated in Spark, not a DuckDB view.
+    """
+    from goffish_v3_spark.operators.pagerank import pagerank
+    from goffish_v3_spark.sources.ingest import ingest
+    from goffish_v3_spark.sources.synthetic import generate_repos
+
+    repos = generate_repos(spark, n_repos=5, files_per_repo=40, seed=42)
+    graph = ingest(repos)
+    pr = pagerank(spark, graph.edges)
+    return (
+        pr.join(graph.vertices, pr.vid == graph.vertices.vid)
+        .select("repo", "path", F.round("rank", 8).alias("rank"))
+        .orderBy(F.desc("rank"), "repo", "path")
+        .limit(20)
+    )
+
+
+def _q_doc_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    from goffish_v3_spark.operators.text import token_count
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_words"),
+        F.length("text").cast("long").alias("n_chars_calc"),
+    )
+
+
+def _q_doc_quality(spark: SparkSession, sf: str) -> DataFrame:
+    from goffish_v3_spark.operators.text import quality_features
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return quality_features(docs).select(
+        "doc_id", "n_chars_calc", "n_words", "mean_word_len", "punct_ratio", "quality_score"
+    )
+
+
+def _q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    from goffish_v3_spark.operators.text import language_id
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return language_id(docs).select("doc_id", "lang_pred")
+
+
+def _q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return docs.groupBy(F.sha2("text", 256).alias("content_sha")).agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc_id")
+    )
+
+
+def _q_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (rows-only: xxhash64 has no DuckDB twin)."""
+    from goffish_v3_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+
+
+def _q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    from goffish_v3_spark.operators.text import fingerprint
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return fingerprint(docs).select("doc_id", "fingerprint")
+
+
+def _q_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from goffish_v3_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return cosine_topk(emb.filter(F.col("vec_id") < 10), emb, k=3)
+
+
+def _q_events_window(spark: SparkSession, sf: str) -> DataFrame:
+    """True Structured Streaming query drained into a memory sink."""
+    from goffish_v3_spark.streaming.events import windowed_counts_stream
+
+    return windowed_counts_stream(spark, f"{sf}/events.parquet")
+
+
+def _q_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    from goffish_v3_spark.streaming.events import sessionize_batch
+
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    return sessionize_batch(events, gap_minutes=30)
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _q_pagerank_cs(spark, SF_DEFAULT)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "edges_cs": _q_edges_cs,
+        "pagerank_cs": _q_pagerank_cs,
+        "wcc_cs": _q_wcc_cs,
+        "lpa_cs": _q_lpa_cs,
+        "sssp_cs": _q_sssp_cs,
+        "triangle_count_copart": _q_tc_copart,
+        "triangles_per_vertex_copart": _q_tc_vertex_copart,
+        "degree_histogram_cs": _q_degree_hist_cs,
+        "graph_stats_cs": _q_graph_stats_cs,
+        "kcore3_copart": _q_kcore_copart,
+        "repo_pagerank_top20": _q_repo_pagerank,
+        "doc_tokens": _q_doc_tokens,
+        "doc_quality": _q_doc_quality,
+        "lang_id": _q_lang_id,
+        "dedup_exact_groups": _q_dedup_exact,
+        "minhash_lsh_pairs": _q_minhash_pairs,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "ann_cosine_top3": _q_ann_topk,
+        "events_hourly_window_stream": _q_events_window,
+        "events_sessionize": _q_sessions,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "edges_cs": CS_EDGES_SQL,
+        "pagerank_cs": _pagerank_sql(),
+        "wcc_cs": WCC_SQL,
+        "lpa_cs": _lpa_sql(),
+        "sssp_cs": SSSP_SQL,
+        "triangle_count_copart": TC_SQL,
+        "triangles_per_vertex_copart": TC_VERTEX_SQL,
+        "degree_histogram_cs": DEGREE_HIST_SQL,
+        "graph_stats_cs": GRAPH_STATS_SQL,
+        # kcore3_copart: iterative peeling — not ANSI-SQL-expressible; rows-only
+        # repo_pagerank_top20: input generated in Spark, not a DuckDB view; rows-only
+        "doc_tokens": DOC_TOKENS_SQL,
+        "doc_quality": DOC_QUALITY_SQL,
+        "lang_id": LANG_ID_SQL,
+        "dedup_exact_groups": DEDUP_EXACT_SQL,
+        # minhash_lsh_pairs / doc_fingerprint: xxhash64-based; rows-only
+        "ann_cosine_top3": ANN_TOPK_SQL,
+        "events_hourly_window_stream": EVENTS_WINDOW_SQL,
+        "events_sessionize": SESSIONS_SQL,
+    }

@@ -1,0 +1,136 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints::
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "extra": {...}}
+
+The authoritative north metric (BASELINE.json) — edges-traversed/sec for
+PageRank supersteps — is reported in ``extra`` alongside iteration counts.
+Scaling-efficiency runs (N vs 4N cores) live in BENCH/run_scaling.py which
+writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+PR_BENCH_ITERS = 10
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from goffish_v3_spark.session import get_spark
+    from goffish_v3_spark.operators.pagerank import pagerank_with_info
+    from goffish_v3_spark.operators.wcc import wcc
+    from goffish_v3_spark.operators.lpa import lpa
+    from goffish_v3_spark.operators.triangles import triangle_count
+    from goffish_v3_spark.sources.tpch_graph import copart_edges, customer_supplier_edges
+    from goffish_v3_spark.sources.ingest import ingest
+    from goffish_v3_spark.sources.synthetic import generate_repos
+    from goffish_v3_spark.operators.dedup import minhash_lsh_pairs
+    from goffish_v3_spark.operators.similarity import cosine_topk
+    from goffish_v3_spark.operators.text import quality_features
+
+    spark = get_spark(
+        app_name="goffish-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+    )
+
+    timings: dict[str, float] = {}
+    extra: dict[str, object] = {}
+
+    def timed(name: str):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.monotonic()
+                return self
+
+            def __exit__(self, *a):
+                timings[name] = round(time.monotonic() - self.t0, 3)
+
+        return _T()
+
+    # ---- link-graph suite on the cs graph -------------------------------
+    cs = customer_supplier_edges(spark, SF_DIR).persist()
+    n_cs_edges = cs.count()
+
+    with timed("pagerank_cs_10it"):
+        scores, info = pagerank_with_info(spark, cs, fixed_iterations=PR_BENCH_ITERS)
+        scores.count()
+    extra["pagerank_cs_edges"] = n_cs_edges
+    extra["pagerank_cs_edges_traversed_per_sec"] = round(
+        PR_BENCH_ITERS * n_cs_edges / timings["pagerank_cs_10it"], 1
+    )
+
+    with timed("pagerank_cs_converge"):
+        _, info = pagerank_with_info(spark, cs)
+    extra["pagerank_cs_supersteps_to_eps"] = info.supersteps
+
+    with timed("wcc_cs"):
+        wcc(spark, cs, num_parts=CPUS).count()
+
+    with timed("lpa_cs_4it"):
+        lpa(spark, cs, fixed_iterations=4).count()
+
+    cp = copart_edges(spark, SF_DIR).persist()
+    n_cp = cp.count()
+    with timed("triangle_count_copart"):
+        extra["triangles_copart"] = triangle_count(cp)
+    extra["copart_edges"] = n_cp
+    cp.unpersist()
+    cs.unpersist()
+
+    # ---- flagship: synthetic repos → ingest → PageRank ------------------
+    with timed("repo_ingest"):
+        repos = generate_repos(spark, n_repos=100, files_per_repo=300, seed=42)
+        graph = ingest(repos)
+        g_edges = graph.edges.persist()
+        n_repo_edges = g_edges.count()
+    with timed("repo_pagerank_10it"):
+        scores, info = pagerank_with_info(spark, g_edges, fixed_iterations=PR_BENCH_ITERS)
+        scores.count()
+    extra["repo_edges"] = n_repo_edges
+    extra["repo_edges_traversed_per_sec"] = round(
+        PR_BENCH_ITERS * n_repo_edges / timings["repo_pagerank_10it"], 1
+    )
+    g_edges.unpersist()
+
+    # ---- training-data pipeline suite ------------------------------------
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    with timed("doc_quality"):
+        quality_features(docs).agg(F.avg("quality_score")).collect()
+    with timed("minhash_lsh"):
+        minhash_lsh_pairs(docs, jaccard_threshold=0.5).count()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    with timed("ann_cosine_top5"):
+        cosine_topk(emb.filter(F.col("vec_id") < 50), emb, k=5).count()
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "goffish_v3_spark headline suite (graph + pipeline) wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+                "cpus": CPUS,
+                "extra": extra,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,255 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies over the ``documents`` table, each a first-class operator:
+
+- :func:`exact_duplicates` — hash-groupBy on sha256(text).
+- :func:`minhash_lsh_pairs` — word-shingle → minhash signature → LSH banding
+  → candidate pairs within a band bucket → exact Jaccard verify. The entire
+  signature computation is built-in array expressions (xxhash64 inside
+  ``transform``), so minhashing stays JVM-side; only the final verify joins
+  token sets.
+- :func:`simhash` — 64-bit simhash via an Arrow-batched pandas UDF (numpy
+  bit-bucketing; a per-row Python loop would be 100× slower).
+- :func:`ngram_jaccard_pairs` — exact n-gram Jaccard for candidate pairs.
+- :func:`embedding_near_duplicates` — cosine-similarity near-dups over an
+  ``array<float>`` embedding column (see operators.similarity).
+
+Scale notes: LSH banding turns the O(n²) pair problem into groupBy(band,
+bucket) + within-bucket self-join — the shuffle key is the band hash, which
+is uniform by construction; exact-verify joins happen only on candidates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from goffish_v3_spark.operators.text import tokens
+
+# deterministic mix constants for the minhash permutation family.
+# Modulus is the Mersenne prime 2^31-1 so (a * h + b) stays < 2^62 — exact in
+# a Spark LongType with ANSI overflow checking on.
+_MIX_A = 0x9E3779B97F4A7C15
+_MASK = (1 << 31) - 1
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical documents:
+    ``(content_sha, n_docs, first_doc_id)`` for every group with n_docs > 1."""
+    return (
+        df.groupBy(F.sha2(F.col(text_col), 256).alias("content_sha"))
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("first_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per identical-content group."""
+    keep = (
+        df.groupBy(F.sha2(F.col(text_col), 256).alias("content_sha"))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def shingle_hashes(text_col: str, shingle: int = 3) -> "F.Column":
+    """xxhash64 of each ``shingle``-word shingle — built-in, JVM-side."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(n - shingle, F.lit(0))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, shingle))),
+    )
+
+
+def _minhash_perms(num_hashes: int, hashes) -> list:
+    """num_hashes ``array_min(affine-permuted hashes)`` columns. Permutation
+    i is ``(a_i * h + b_i) mod M31`` — products stay < 2^62, exact in
+    LongType."""
+
+    def perm(a: int, b: int):
+        # single-arg lambda factory (extra default args would change the
+        # arity PySpark infers for the higher-order function)
+        return lambda h: F.pmod(F.lit(a) * h + b, F.lit(_MASK))
+
+    sigs = []
+    for i in range(num_hashes):
+        a = ((_MIX_A * (2 * i + 1)) % _MASK) or 1
+        b = (_MIX_A * (i + 7) ** 2 + 13) % _MASK
+        sigs.append(F.array_min(F.transform(hashes, perm(a, b))))
+    return sigs
+
+
+def minhash_signature(text_col: str, num_hashes: int = 32, shingle: int = 3) -> "F.Column":
+    """Array of ``num_hashes`` minhash values (inline-expression form; the
+    LSH pipeline uses the barrier-materialized variant)."""
+    hashes = F.transform(shingle_hashes(text_col, shingle), lambda h: F.pmod(h, F.lit(_MASK)))
+    return F.array(*_minhash_perms(num_hashes, hashes))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle: int = 3,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs ``(id_a, id_b, jaccard)`` with id_a < id_b.
+
+    Pipeline: signature → band buckets (groupBy shuffle) → within-bucket
+    candidate pairs → exact shingle-set Jaccard verification ≥ threshold.
+    """
+    rows_per_band = num_hashes // bands
+    # materialize shingle hashes ONCE behind a lineage barrier — otherwise
+    # Catalyst's CollapseProject inlines the shingle subtree into each of the
+    # num_hashes permutation expressions (num_hashes× recompute of the
+    # tokenize/concat/xxhash work per row)
+    sh_df = df.select(
+        F.col(id_col).alias("_id"), shingle_hashes(text_col, shingle).alias("sh")
+    ).localCheckpoint(eager=True)
+    reduced = F.transform(F.col("sh"), lambda h: F.pmod(h, F.lit(_MASK)))
+    sig = sh_df.select(
+        "_id",
+        F.array(*_minhash_perms(num_hashes, reduced)).alias("sig"),
+        F.array_distinct("sh").alias("shset"),
+    )
+
+    banded = sig.select(
+        "_id",
+        "shset",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("_id", "shset", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = banded.alias("a")
+    b = banded.select(
+        F.col("_id").alias("_id_b"),
+        F.col("shset").alias("shset_b"),
+        "band",
+        "bucket",
+    ).alias("b")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a._id") < F.col("_id_b"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("_id_b").alias("id_b"),
+            F.col("a.shset").alias("sa"),
+            F.col("shset_b").alias("sb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    jac = F.round(
+        F.size(F.array_intersect("sa", "sb"))
+        / F.greatest(F.size(F.array_union("sa", "sb")), F.lit(1)),
+        6,
+    )
+    return (
+        cand.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for explicit candidate ``pairs(id_a, id_b)``."""
+    sets = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(shingle_hashes(text_col, shingle)).alias("shset"),
+    )
+    out = (
+        pairs.join(sets.withColumnRenamed("_id", "id_a").withColumnRenamed("shset", "sa"), "id_a")
+        .join(sets.withColumnRenamed("_id", "id_b").withColumnRenamed("shset", "sb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("sa", "sb"))
+                / F.greatest(F.size(F.array_union("sa", "sb")), F.lit(1)),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return out
+
+
+@F.pandas_udf(T.LongType())
+def _simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit simhash per text — vectorized numpy bit bucketing per Arrow batch."""
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        words = (t or "").split()
+        if not words:
+            continue
+        hs = np.array(
+            [np.int64(np.uint64(hash(w) & 0xFFFFFFFFFFFFFFFF)) for w in words],
+            dtype=np.int64,
+        ).view(np.uint64)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+        acc = (2 * bits - 1).sum(axis=0)
+        sim = np.uint64(0)
+        for b in np.nonzero(acc > 0)[0]:
+            sim |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(sim)
+    return pd.Series(out)
+
+
+def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append a ``simhash`` long column.
+
+    NOTE: Python's ``hash(str)`` is salted per interpreter (PYTHONHASHSEED);
+    Spark pins the seed across executors for a run, so results are consistent
+    within a job but not across processes. For cross-run determinism use
+    :func:`fingerprint` (xxhash64-based) from operators.text.
+    """
+    return df.withColumn("simhash", _simhash64(F.col(text_col)))
+
+
+def simhash_near_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", prefix_bits: int = 16
+) -> DataFrame:
+    """Candidate near-dup pairs: equal ``prefix_bits`` simhash prefix, then
+    Hamming distance via bit_count(xor) ≤ 3."""
+    s = simhash(df, text_col).select(F.col(id_col).alias("_id"), "simhash")
+    s = s.withColumn("bucket", F.shiftrightunsigned("simhash", 64 - prefix_bits))
+    a = s.alias("a")
+    b = s.select(
+        F.col("_id").alias("_id_b"), F.col("simhash").alias("sim_b"), "bucket"
+    ).alias("b")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a._id") < F.col("_id_b"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("_id_b").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+    )

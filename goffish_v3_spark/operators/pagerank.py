@@ -1,0 +1,118 @@
+"""PageRank with the reference's exact semantics.
+
+Reproduces sample-hama PageRank.java:19-149 (update rule at :107):
+``rank' = ALPHA · Σ_in(rank_u / outdeg_u) + (1 − ALPHA)/N``, ALPHA = 0.85,
+converged when **every** |Δ| ≤ EPSILON (= 1e-3 in the reference; the
+all-converged gate at :108-116 becomes our driver-side ``max(abs(Δ)) ≤ ε``).
+Notably there is **no dangling-mass redistribution** — vertices without
+out-edges simply leak rank (reference behaviour, see SURVEY.md §7.3) — and N
+counts *all* vertices (src ∪ dst).
+
+Spark shape per superstep (one job):
+
+    contrib = state ⋈ adj on vid=src          -- adj pre-annotated with outdeg
+            → groupBy(dst).agg(sum(rank/deg)) -- map-side partial agg = the
+                                              -- reference's local/remote sum
+                                              -- split (PageRank.java:120-141)
+    rank'   = α·contrib + (1−α)/N             -- left join back onto state
+    delta   = agg(max(abs(rank' − rank)))     -- driver convergence gate
+
+The contribution aggregation is skew-safe via partial (map-side) aggregation:
+reducer fan-in per hot dst is bounded by the mapper count, not its in-degree.
+AQE skew-join handles out-degree skew on the state⋈adj side; see
+plans.partitioner for the explicit salting utilities used by the ingest path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from goffish_v3_spark.plans.superstep import RunInfo, StepResult, SuperstepLoop
+
+ALPHA = 0.85
+EPSILON = 1e-3
+
+
+def pagerank_with_info(
+    spark: SparkSession,
+    edges: DataFrame,
+    alpha: float = ALPHA,
+    eps: float = EPSILON,
+    max_iter: int = 100,
+    fixed_iterations: int | None = None,
+    checkpoint_dir: str | None = None,
+    run_id: str | None = None,
+    resume: bool = False,
+    checkpoint_every: int = 5,
+) -> tuple[DataFrame, RunInfo]:
+    """Run PageRank; return (scores ``(vid, rank)``, RunInfo).
+
+    ``fixed_iterations`` disables the ε-gate and runs exactly that many rank
+    updates (used by SQL-oracle comparisons, which unroll a fixed count).
+    """
+    e = edges.select("src", "dst").distinct().persist()
+    vertices = (
+        e.select(F.col("src").alias("vid"))
+        .unionByName(e.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    n = vertices.count()
+    outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # adjacency annotated with source out-degree once, reused every superstep
+    adj = e.join(outdeg, "src").persist()
+    adj.count()
+    e.unpersist()
+
+    # sever the (possibly expensive) upstream plan from the iterative loop
+    init = vertices.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    base = (1.0 - alpha) / n
+
+    def step(state: DataFrame, i: int) -> StepResult:
+        contrib = (
+            state.join(adj, state.vid == adj.src)
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        new_state = state.join(contrib, state.vid == contrib.dst, "left").select(
+            "vid",
+            (alpha * F.coalesce(F.col("s"), F.lit(0.0)) + base).alias("rank"),
+            F.col("rank").alias("_old"),
+        )
+        if fixed_iterations is not None:
+            done = i + 1 >= fixed_iterations
+            return StepResult(
+                new_state.select("vid", "rank").localCheckpoint(eager=True),
+                done,
+                truncated=True,
+            )
+        # ONE job per superstep: the ε-gate rides along the localCheckpoint
+        # materialization as an observed metric (reference's all-converged
+        # gate, PageRank.java:108-116, evaluated driver-side)
+        obs = Observation(f"pr_step_{i}")
+        observed = new_state.observe(
+            obs, F.max(F.abs(F.col("rank") - F.col("_old"))).alias("delta")
+        )
+        out = observed.select("vid", "rank", "_old").localCheckpoint(eager=True)
+        delta = obs.get["delta"]
+        return StepResult(
+            out.select("vid", "rank"), delta <= eps, delta=float(delta), truncated=True
+        )
+
+    loop = SuperstepLoop(
+        spark,
+        checkpoint_dir=checkpoint_dir,
+        run_id=run_id,
+        max_iter=(fixed_iterations if fixed_iterations is not None else max_iter),
+        checkpoint_every=checkpoint_every,
+    )
+    info = loop.run(init, step, resume=resume)
+    adj.unpersist()
+    return info.state, info
+
+
+def pagerank(spark: SparkSession, edges: DataFrame, **kw) -> DataFrame:
+    """Return ``(vid long, rank double)`` at convergence."""
+    scores, _ = pagerank_with_info(spark, edges, **kw)
+    return scores

@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- :func:`cosine_topk` — exact brute-force top-k neighbours via a crossish
+  join; the dot product is a built-in ``aggregate``/``zip_with`` expression
+  (JVM-side), the top-k a window row_number. Baseline / ground truth.
+- :func:`lsh_topk` — the scale path: random-hyperplane LSH buckets shrink the
+  candidate set; same exact scoring within buckets, probing multiple tables.
+  At 100 TB the bucket id is the shuffle key and each bucket's candidate
+  join is local to its partition.
+
+Deterministic: hyperplanes derive from a seeded numpy RNG broadcast as
+literal arrays; ordering ties break on neighbour id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a, b) -> "F.Column":
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a) -> "F.Column":
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a, b) -> "F.Column":
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k: ``(query_id, neighbor_id, sim, rk)``; excludes self-match.
+
+    Broadcast the query side when it is small (the common case); Spark's AQE
+    handles the corpus scan in parallel — each corpus partition scores all
+    queries locally, then one top-k shuffle per query id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket(vec_col, planes: list[list[float]]) -> "F.Column":
+    """Sign-pattern bucket id over random hyperplanes — a long with one bit
+    per plane, computed with built-in array expressions."""
+    bits = [
+        F.when(dot(vec_col, F.array(*[F.lit(float(x)) for x in p])) >= 0, 1).otherwise(0)
+        for p in planes
+    ]
+    out = F.lit(0).cast("long")
+    for i, b in enumerate(bits):
+        out = out + (b.cast("long") * F.lit(1 << i))
+    return out
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket in ≥1 of
+    ``n_tables`` tables; exact cosine rescoring + row_number inside the
+    candidate set."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    cands = None
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        qb = q.withColumn("bucket", lsh_bucket(F.col("qv"), planes))
+        cb = c.withColumn("bucket", lsh_bucket(F.col("cv"), planes))
+        pair = qb.join(cb, "bucket").filter(
+            F.col("query_id") != F.col("neighbor_id")
+        ).select("query_id", "qv", "neighbor_id", "cv")
+        cands = pair if cands is None else cands.unionByName(pair)
+    cands = cands.dropDuplicates(["query_id", "neighbor_id"])
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold, id_a < id_b (embedding-space
+    near-dup detection for dedup pipelines)."""
+    a = df.select(F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim")
+        )
+        .filter(F.col("sim") >= threshold)
+    )

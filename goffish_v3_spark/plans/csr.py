@@ -1,0 +1,175 @@
+"""Partition-local CSR adjacency blocks — the engine's subgraph substrate.
+
+The reference materializes each partition's subgraphs as JVM object graphs
+(hama Subgraph.java:32-156: HashMaps of Vertex objects holding edge
+ArrayLists). Our equivalent is a *columnar block per partition*: the
+out-adjacency of all vertices owned by a partition, packed as numpy arrays
+(CSR: indptr + per-edge dst arrays) and carried through Spark as binary
+columns inside Arrow record batches — one row per partition.
+
+Why this shape at 100 TB:
+- built in ONE ``applyInPandas`` pass after one shuffle by ``part``;
+- persisted once and reused by every superstep of every algorithm — the
+  analogue of the reference building its Partition objects once at load
+  (GraphJobRunner.java:105-126);
+- per-edge dst partition + local index are *precomputed Spark-side*
+  (xxhash64 ownership, plans.partitioner), so kernels never re-hash and
+  message routing is an array lookup (the reference needed a 3-superstep
+  handshake + a broadcast routing table for the same information,
+  LongTextAdjacencyListReader.java:130-233);
+- kernels are pure vectorized numpy over the block — the "run a sequential
+  algorithm over the whole subgraph" trick (SURVEY.md §4 P2/P3) without
+  per-row Python.
+
+Block schema (one row per partition)::
+
+    part int, n_local long, n_edges long,
+    local_vids binary,      -- int64[n_local], sorted
+    indptr binary,          -- int64[n_local+1]
+    edge_dst_vid binary,    -- int64[n_edges]
+    edge_dst_part binary,   -- int32[n_edges]
+    edge_dst_local binary,  -- int32[n_edges]  (index into local_vids, -1 remote)
+    edge_w binary           -- float64[n_edges]
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from goffish_v3_spark.plans.partitioner import vertex_part
+
+CSR_SCHEMA = (
+    "part int, n_local long, n_edges long, local_vids binary, indptr binary, "
+    "edge_dst_vid binary, edge_dst_part binary, edge_dst_local binary, edge_w binary"
+)
+
+
+class CsrBlock:
+    """Deserialized view of one partition's CSR block."""
+
+    __slots__ = (
+        "part",
+        "local_vids",
+        "indptr",
+        "edge_dst_vid",
+        "edge_dst_part",
+        "edge_dst_local",
+        "edge_w",
+    )
+
+    def __init__(self, row_or_pdf):
+        r = row_or_pdf
+        self.part = int(r["part"])
+        self.local_vids = np.frombuffer(r["local_vids"], dtype=np.int64)
+        self.indptr = np.frombuffer(r["indptr"], dtype=np.int64)
+        self.edge_dst_vid = np.frombuffer(r["edge_dst_vid"], dtype=np.int64)
+        self.edge_dst_part = np.frombuffer(r["edge_dst_part"], dtype=np.int32)
+        self.edge_dst_local = np.frombuffer(r["edge_dst_local"], dtype=np.int32)
+        self.edge_w = np.frombuffer(r["edge_w"], dtype=np.float64)
+
+    @property
+    def n_local(self) -> int:
+        return len(self.local_vids)
+
+    @property
+    def out_degrees(self) -> np.ndarray:
+        return np.diff(self.indptr)
+
+    def align(self, vids: np.ndarray) -> np.ndarray:
+        """Positions of ``vids`` within local_vids (which is sorted)."""
+        return np.searchsorted(self.local_vids, vids)
+
+
+def _build_block(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Assemble one partition's CSR from its tagged rows.
+
+    Rows: kind 'v' → (vid) owned vertex; kind 'e' → (src, dst, w, dst_part).
+    """
+    part = int(pdf["part"].iloc[0])
+    vrows = pdf[pdf["kind"] == "v"]
+    erows = pdf[pdf["kind"] == "e"]
+    local_vids = np.sort(vrows["src"].to_numpy(dtype=np.int64))
+
+    if len(erows):
+        src = erows["src"].to_numpy(dtype=np.int64)
+        order = np.argsort(src, kind="stable")
+        src = src[order]
+        dst = erows["dst"].to_numpy(dtype=np.int64)[order]
+        dst_part = erows["dst_part"].to_numpy(dtype=np.int32)[order]
+        w = erows["w"].to_numpy(dtype=np.float64)[order]
+    else:
+        src = np.empty(0, dtype=np.int64)
+        dst = np.empty(0, dtype=np.int64)
+        dst_part = np.empty(0, dtype=np.int32)
+        w = np.empty(0, dtype=np.float64)
+
+    # indptr over sorted local vids
+    indptr = np.zeros(len(local_vids) + 1, dtype=np.int64)
+    if len(src):
+        counts = np.bincount(
+            np.searchsorted(local_vids, src), minlength=len(local_vids)
+        )
+        indptr[1:] = np.cumsum(counts)
+
+    # local index of each dst (or -1 if owned by another partition)
+    dst_local = np.full(len(dst), -1, dtype=np.int32)
+    if len(dst) and len(local_vids):
+        pos = np.searchsorted(local_vids, dst)
+        pos_clipped = np.minimum(pos, len(local_vids) - 1)
+        is_local = (dst_part == part) & (local_vids[pos_clipped] == dst)
+        dst_local[is_local] = pos_clipped[is_local].astype(np.int32)
+
+    return pd.DataFrame(
+        {
+            "part": [part],
+            "n_local": [len(local_vids)],
+            "n_edges": [len(dst)],
+            "local_vids": [local_vids.tobytes()],
+            "indptr": [indptr.tobytes()],
+            "edge_dst_vid": [dst.tobytes()],
+            "edge_dst_part": [dst_part.tobytes()],
+            "edge_dst_local": [dst_local.tobytes()],
+            "edge_w": [w.tobytes()],
+        }
+    )
+
+
+def build_csr_blocks(
+    spark: SparkSession, edges: DataFrame, num_parts: int, persist: bool = True
+) -> DataFrame:
+    """edges(src, dst, w) → one CSR block row per partition (persisted).
+
+    Vertices are owned by ``part(vid) = pmod(xxhash64(vid), P)``; a vertex
+    with no out-edges still appears in its partition's block (rank sinks,
+    matching the reference's sink-less Vertex objects).
+    """
+    e = edges.select(
+        "src",
+        "dst",
+        F.col("w").cast("double").alias("w"),
+        vertex_part(F.col("src"), num_parts).alias("part"),
+        vertex_part(F.col("dst"), num_parts).alias("dst_part"),
+        F.lit("e").alias("kind"),
+    )
+    v = (
+        edges.select(F.col("src").alias("vid"))
+        .unionByName(edges.select(F.col("dst").alias("vid")))
+        .distinct()
+        .select(
+            F.col("vid").alias("src"),
+            F.lit(None).cast("long").alias("dst"),
+            F.lit(0.0).alias("w"),
+            vertex_part(F.col("vid"), num_parts).alias("part"),
+            F.lit(None).cast("int").alias("dst_part"),
+            F.lit("v").alias("kind"),
+        )
+    )
+    tagged = e.unionByName(v)
+    blocks = tagged.groupBy("part").applyInPandas(_build_block, schema=CSR_SCHEMA)
+    if persist:
+        blocks = blocks.persist()
+        blocks.count()
+    return blocks

@@ -1,0 +1,78 @@
+"""Dedup operators: exact, minhash-LSH, simhash, embedding near-dup."""
+
+import pyspark.sql.functions as F
+
+from goffish_v3_spark.operators.dedup import (
+    dedup_exact,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from goffish_v3_spark.operators.similarity import embedding_near_duplicates
+
+BASE = (
+    "spark is a unified analytics engine for large scale data processing "
+    "it provides high level apis in java scala python and r plus an optimized "
+    "engine that supports general execution graphs for queries"
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact duplicate of 1
+        (3, BASE.replace("queries", "workloads")),  # near dup of 1
+        (4, "completely unrelated text about cooking pasta with tomatoes and basil and olive oil in a big pot"),
+        (5, "another unrelated document mentioning mountains rivers hiking trails and the weather forecast for tomorrow"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark):
+    groups = exact_duplicates(_docs(spark)).collect()
+    assert len(groups) == 1
+    assert groups[0].n_docs == 2
+    assert groups[0].first_doc_id == 1
+
+
+def test_dedup_exact_keeps_one(spark):
+    kept = {r.doc_id for r in dedup_exact(_docs(spark)).collect()}
+    assert kept == {1, 3, 4, 5}
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(_docs(spark), jaccard_threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.8
+    assert all(a in (1, 2, 3) and b in (1, 2, 3) for a, b in pairs)
+
+
+def test_ngram_jaccard_exact_values(spark):
+    pairs = spark.createDataFrame([(1, 2), (1, 4)], "id_a long, id_b long")
+    out = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(_docs(spark), pairs).collect()}
+    assert out[(1, 2)] == 1.0
+    assert out[(1, 4)] == 0.0
+
+
+def test_simhash_near_duplicates(spark):
+    got = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_duplicates(_docs(spark), prefix_bits=4).collect()
+    }
+    assert (1, 2) in got  # identical text → identical simhash
+    assert all({a, b} <= {1, 2, 3} for a, b in got)
+
+
+def test_embedding_near_duplicates(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r.id_a, r.id_b) for r in embedding_near_duplicates(df, 0.95).collect()}
+    assert got == {(1, 2)}

@@ -1,0 +1,69 @@
+"""PageRank vs the reference-semantics oracle (allclose 1e-6, north_rule)."""
+
+import pytest
+
+from goffish_v3_spark.operators.pagerank import pagerank, pagerank_with_info
+from tests import graphs
+from tests.oracles import pagerank_oracle
+
+
+def _check(spark, edges, **kw):
+    df = graphs.to_df(spark, edges)
+    got = {r.vid: r.rank for r in pagerank(spark, df, **kw).collect()}
+    want = pagerank_oracle(edges, **kw)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-6), f"vertex {v}"
+
+
+def test_chain(spark):
+    _check(spark, graphs.chain(10))
+
+
+def test_star_hub(spark):
+    _check(spark, graphs.star_hub(50))
+
+
+def test_clique(spark):
+    _check(spark, graphs.clique(8))
+
+
+def test_two_islands(spark):
+    _check(spark, graphs.two_islands_bridge())
+
+
+def test_barabasi_albert(spark):
+    _check(spark, graphs.barabasi_albert(150, m=3))
+
+
+def test_fixed_iterations(spark):
+    _check(spark, graphs.barabasi_albert(80, m=2), fixed_iterations=5)
+
+
+def test_converges_and_reports_info(spark):
+    df = graphs.to_df(spark, graphs.barabasi_albert(100))
+    scores, info = pagerank_with_info(spark, df)
+    assert info.converged
+    assert info.supersteps > 1
+    assert scores.count() == 100
+
+
+def test_checkpoint_resume_equivalence(spark, tmp_path):
+    """north_rule: kill after superstep k, resume, identical final output."""
+    edges = graphs.barabasi_albert(100, m=2)
+    df = graphs.to_df(spark, edges)
+    full = {r.vid: r.rank for r in pagerank(spark, df).collect()}
+
+    ckpt = str(tmp_path / "ck")
+    # run only 3 supersteps then "crash"
+    pagerank(
+        spark, df, checkpoint_dir=ckpt, run_id="r1", max_iter=3, checkpoint_every=1
+    )
+    # resume from the checkpoint and run to convergence
+    resumed = pagerank(
+        spark, df, checkpoint_dir=ckpt, run_id="r1", resume=True, checkpoint_every=1
+    )
+    got = {r.vid: r.rank for r in resumed.collect()}
+    assert set(got) == set(full)
+    for v in full:
+        assert got[v] == pytest.approx(full[v], abs=1e-12)

@@ -1,0 +1,77 @@
+"""Reference input-format readers, incl. the shipped Facebook fixture."""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from goffish_v3_spark.sources.readers import (
+    FB_REFERENCE_PATH,
+    read_adjacency_list,
+    read_full_info,
+    read_giraph_subgraph,
+    read_json_lines,
+    read_partitioned_adjacency_list,
+)
+
+
+def test_adjacency_list(spark, tmp_path):
+    p = tmp_path / "g.txt"
+    p.write_text("0 1 2 3\n1 2\n2\n")
+    e = read_adjacency_list(spark, str(p))
+    rows = {(r.src, r.dst) for r in e.collect()}
+    assert rows == {(0, 1), (0, 2), (0, 3), (1, 2)}
+
+
+def test_partitioned_adjacency_list(spark, tmp_path):
+    p = tmp_path / "g.txt"
+    p.write_text("0 0 1 2\n1 1 0\n")
+    e = read_partitioned_adjacency_list(spark, str(p))
+    rows = {(r.src, r.dst, r.part) for r in e.collect()}
+    assert rows == {(0, 1, 0), (0, 2, 0), (1, 0, 1)}
+
+
+def test_full_info(spark, tmp_path):
+    p = tmp_path / "g.txt"
+    # PID SGID VID sink sgid pid ...
+    p.write_text("0 10 1 2 11 1 3 10 0\n1 11 2\n")
+    e = read_full_info(spark, str(p))
+    rows = {(r.src, r.dst, r.part, r.sgid, r.dst_sgid, r.dst_part) for r in e.collect()}
+    assert rows == {(1, 2, 0, 10, 11, 1), (1, 3, 0, 10, 10, 0)}
+
+
+def test_json_lines(spark, tmp_path):
+    p = tmp_path / "g.json"
+    p.write_text('[0, 0, "v", [[1, 100, 2.5], [2, 101, 1.0]]]\n[1, 1, "w", []]\n')
+    e = read_json_lines(spark, str(p))
+    rows = {(r.src, r.dst, r.w, r.part, r.edge_id) for r in e.collect()}
+    assert rows == {(0, 1, 2.5, 0, 100), (0, 2, 1.0, 0, 101)}
+
+
+def test_giraph_subgraph(spark, tmp_path):
+    p = tmp_path / "g.txt"
+    p.write_text("5\t20\t0\t6\t7\n6\t20\t0\t5\n")
+    e = read_giraph_subgraph(spark, str(p))
+    rows = {(r.src, r.dst, r.sgid, r.part) for r in e.collect()}
+    assert rows == {(5, 6, 20, 0), (5, 7, 20, 0), (6, 5, 20, 0)}
+
+
+@pytest.mark.skipif(
+    not os.path.exists(FB_REFERENCE_PATH), reason="reference fixture not present"
+)
+def test_fb_reference_graph(spark):
+    """Parse the reference's shipped fb graph and sanity-check its shape;
+    also asserts partition-file equivalence (fb-multiple = same edge set)."""
+    e = read_adjacency_list(spark, FB_REFERENCE_PATH).persist()
+    n_edges = e.count()
+    assert n_edges > 10_000
+    multi_dir = os.path.join(
+        os.path.dirname(os.path.dirname(FB_REFERENCE_PATH)), "fb-multiple"
+    )
+    if os.path.exists(multi_dir):
+        e4 = read_adjacency_list(spark, multi_dir)
+        assert e4.count() == n_edges
+        assert (
+            e.exceptAll(e4).count() == 0 and e4.exceptAll(e).count() == 0
+        ), "4-partition split must contain exactly the same edges"
+    e.unpersist()

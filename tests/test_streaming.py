@@ -1,0 +1,30 @@
+"""Structured Streaming operators: windowed aggs + sessionization, with the
+streaming result checked against the batch twin on the same input."""
+
+from goffish_v3_spark.streaming.events import (
+    sessionize_batch,
+    windowed_counts_batch,
+    windowed_counts_stream,
+)
+
+
+def test_windowed_stream_equals_batch(spark, sf_dir):
+    path = f"{sf_dir}/events.parquet"
+    events = spark.read.parquet(path)
+    batch = {
+        (r.window_start, r.event_type): (r.n, r.total_value)
+        for r in windowed_counts_batch(events).collect()
+    }
+    streamed = {
+        (r.window_start, r.event_type): (r.n, r.total_value)
+        for r in windowed_counts_stream(spark, path, query_name="t_wc").collect()
+    }
+    assert streamed == batch
+    assert len(batch) > 10
+
+
+def test_sessionize_batch_shape(spark, sf_dir):
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sessions = sessionize_batch(events, gap_minutes=30).collect()
+    assert len(sessions) >= events.select("user_id").distinct().count()
+    assert sum(r.n_events for r in sessions) == events.count()

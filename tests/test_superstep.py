@@ -1,0 +1,60 @@
+"""Superstep loop: checkpoint/resume + metrics table (north_rule gates)."""
+
+import pyspark.sql.functions as F
+
+from goffish_v3_spark.plans.superstep import StepResult, SuperstepLoop
+
+
+def _inc_step(spark):
+    def step(state, i):
+        new = state.withColumn("x", F.col("x") + 1)
+        return StepResult(new, converged=False, delta=1.0, messages=0)
+
+    return step
+
+
+def test_runs_max_iter_and_counts(spark):
+    init = spark.range(10).select(F.col("id").alias("vid"), F.lit(0).alias("x"))
+    loop = SuperstepLoop(spark, max_iter=5)
+    info = loop.run(init, _inc_step(spark))
+    assert info.supersteps == 5
+    assert not info.converged
+    assert all(r.x == 5 for r in info.state.collect())
+
+
+def test_checkpoint_resume_continues(spark, tmp_path):
+    ckpt = str(tmp_path)
+    init = spark.range(4).select(F.col("id").alias("vid"), F.lit(0).alias("x"))
+    loop = SuperstepLoop(spark, checkpoint_dir=ckpt, run_id="r", max_iter=3)
+    loop.run(init, _inc_step(spark))
+    assert loop.last_committed_superstep() == 2
+
+    loop2 = SuperstepLoop(spark, checkpoint_dir=ckpt, run_id="r", max_iter=7)
+    info = loop2.run(init, _inc_step(spark), resume=True)
+    # resumed from superstep 3, ran 4 more
+    assert info.supersteps == 4
+    assert all(r.x == 7 for r in info.state.collect())
+
+
+def test_metrics_rows_written(spark, tmp_path):
+    ckpt = str(tmp_path)
+    init = spark.range(4).select(F.col("id").alias("vid"), F.lit(0).alias("x"))
+    loop = SuperstepLoop(spark, checkpoint_dir=ckpt, run_id="m", max_iter=3)
+    loop.run(init, _inc_step(spark))
+    m = loop.metrics()
+    rows = m.filter(F.col("part") == -1).collect()
+    assert {r.superstep for r in rows} == {0, 1, 2}
+    assert all(r.run_id == "m" for r in rows)
+    assert set(m.columns) >= {"run_id", "superstep", "part", "rows", "msgs", "wall_ms", "delta", "extra"}
+
+
+def test_convergence_stops_early(spark):
+    init = spark.range(4).select(F.col("id").alias("vid"), F.lit(0).alias("x"))
+
+    def step(state, i):
+        new = state.withColumn("x", F.col("x") + 1)
+        return StepResult(new, converged=(i == 2), delta=0.0)
+
+    info = SuperstepLoop(spark, max_iter=10).run(init, step)
+    assert info.converged
+    assert info.supersteps == 3
