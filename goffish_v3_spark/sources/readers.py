@@ -93,13 +93,20 @@ def read_full_info(spark: SparkSession, path: str) -> DataFrame:
         "sgid",
         "src",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("rest") / 3 - 1),
-                lambda i: F.struct(
-                    F.element_at("rest", (i * 3 + 1).cast("int")).cast("long").alias("dst"),
-                    F.element_at("rest", (i * 3 + 2).cast("int")).cast("long").alias("dst_sgid"),
-                    F.element_at("rest", (i * 3 + 3).cast("int")).cast("int").alias("dst_part"),
+            # guard: a vertex line with no sinks has an empty rest array, and
+            # sequence(0, -1) would descend instead of being empty
+            F.when(
+                F.size("rest") >= 3,
+                F.transform(
+                    F.sequence(F.lit(0), (F.size("rest") / 3 - 1).cast("int")),
+                    lambda i: F.struct(
+                        F.element_at("rest", (i * 3 + 1).cast("int")).cast("long").alias("dst"),
+                        F.element_at("rest", (i * 3 + 2).cast("int")).cast("long").alias("dst_sgid"),
+                        F.element_at("rest", (i * 3 + 3).cast("int")).cast("int").alias("dst_part"),
+                    ),
                 ),
+            ).otherwise(
+                F.array().cast("array<struct<dst:bigint,dst_sgid:bigint,dst_part:int>>")
             )
         ).alias("e"),
     )
