@@ -108,6 +108,71 @@ walk(vid, d) AS (
 SELECT vid, CAST(min(d) AS DOUBLE) AS dist FROM walk GROUP BY vid
 """
 
+SSSP_WEIGHTED_ITERS = 20
+
+
+def _sssp_weighted_sql(iters: int = SSSP_WEIGHTED_ITERS) -> str:
+    """Bellman-Ford unrolled ``iters`` relaxation rounds (enough to converge
+    on the cs graph, whose weighted shortest paths are hop-short); mirrors
+    operators.sssp's per-superstep min-relaxation exactly, including the
+    min-weight dedup per (src, dst) pair."""
+    # MATERIALIZED: every d{i} is referenced twice by d{i+1} (own dist +
+    # relaxation); DuckDB inlines plain CTEs, which would blow the plan up
+    # 2^iters and reopen the parquet views exponentially often
+    ctes = [
+        f"e AS MATERIALIZED ({CS_EDGES_SQL})",
+        "und0 AS (SELECT src AS a, dst AS b, w FROM e "
+        "UNION ALL SELECT dst, src, w FROM e)",
+        "und AS MATERIALIZED (SELECT a, b, min(w) AS w FROM und0 GROUP BY a, b)",
+        "verts AS MATERIALIZED (SELECT DISTINCT a AS vid FROM und)",
+        "s AS (SELECT min(src) AS sv FROM e)",
+        "d0 AS MATERIALIZED (SELECT vid, CASE WHEN vid = (SELECT sv FROM s) THEN 0.0 "
+        "ELSE CAST('infinity' AS DOUBLE) END AS dist FROM verts)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT v.vid, least(p.dist, coalesce(r.nd, CAST('infinity' AS DOUBLE))) AS dist
+  FROM verts v JOIN d{i-1} p ON p.vid = v.vid
+  LEFT JOIN (
+    SELECT u.b AS vid, min(p.dist + u.w) AS nd
+    FROM d{i-1} p JOIN und u ON p.vid = u.a WHERE p.dist < CAST('infinity' AS DOUBLE)
+    GROUP BY u.b
+  ) r ON r.vid = v.vid
+)"""
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT vid, round(dist, 6) AS dist FROM d{iters}"
+
+
+SPANNING_FOREST_STATS_SQL = f"""
+WITH RECURSIVE e AS ({CS_EDGES_SQL}),
+und AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+reach(vid, r) AS (
+  SELECT a, a FROM und
+  UNION
+  SELECT u.b, reach.r FROM reach JOIN und u ON reach.vid = u.a
+),
+lab AS (SELECT vid, min(r) AS label FROM reach GROUP BY vid)
+SELECT count(*) AS n_vertices,
+       count(DISTINCT label) AS n_components,
+       count(*) - count(DISTINCT label) AS n_tree_edges
+FROM lab
+"""
+
+VERTEX_COUNT_SQL = f"""
+WITH e AS ({CS_EDGES_SQL})
+SELECT count(*) AS n_vertices
+FROM (SELECT src AS vid FROM e UNION SELECT dst FROM e)
+"""
+
+EMB_NEAR_DUP_SQL = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.e, b.e), 6) AS sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= 0.45
+"""
+
 TC_SQL = f"""
 WITH e AS ({COPART_EDGES_SQL})
 SELECT count(*) AS triangles
@@ -323,6 +388,61 @@ def _q_kcore_copart(spark: SparkSession, sf: str) -> DataFrame:
     return k_core(spark, copart_edges(spark, sf), k=3)
 
 
+def _q_core_numbers_copart(spark: SparkSession, sf: str) -> DataFrame:
+    from goffish_v3_spark.operators.kcore import core_numbers
+
+    return core_numbers(spark, copart_edges(spark, sf))
+
+
+def _q_sssp_weighted_cs(spark: SparkSession, sf: str) -> DataFrame:
+    from goffish_v3_spark.operators.sssp import sssp
+
+    e = customer_supplier_edges(spark, sf)
+    source = e.agg(F.min("src")).collect()[0][0]
+    d = sssp(spark, e, source=source, weighted=True, directed=False)
+    return d.select("vid", F.round("dist", 6).alias("dist"))
+
+
+def _q_vertex_count_cs(spark: SparkSession, sf: str) -> DataFrame:
+    from goffish_v3_spark.operators.stats import vertex_count
+
+    n = vertex_count(customer_supplier_edges(spark, sf))
+    return spark.createDataFrame([(n,)], "n_vertices long")
+
+
+def _q_meta_graph_cs(spark: SparkSession, sf: str) -> DataFrame:
+    """Partition communication topology (MetaGraph.java:30-46). Rows-only:
+    partition ids come from xxhash64, which has no DuckDB twin."""
+    from goffish_v3_spark.operators.stats import meta_graph
+
+    return meta_graph(customer_supplier_edges(spark, sf), num_parts=8)
+
+
+def _q_spanning_forest_stats_cs(spark: SparkSession, sf: str) -> DataFrame:
+    from goffish_v3_spark.operators.spanning_forest import spanning_forest
+
+    e = customer_supplier_edges(spark, sf)
+    tree, labels = spanning_forest(spark, e, num_parts=8)
+    nv = labels.count()
+    nc = labels.select("label").distinct().count()
+    nt = tree.count()
+    return spark.createDataFrame(
+        [(nv, nc, nt)], "n_vertices long, n_components long, n_tree_edges long"
+    )
+
+
+def _q_subgraph_pagerank_cs(spark: SparkSession, sf: str) -> DataFrame:
+    """Block PageRank over partition-local CSR kernels (SubgraphRank.java
+    semantics). Rows-only: the local-convergence inner loop is iteration-
+    order dependent; pytest asserts allclose vs plain PageRank instead."""
+    from goffish_v3_spark.operators.subgraph_pagerank import csr_pagerank
+
+    e = customer_supplier_edges(spark, sf)
+    return csr_pagerank(spark, e, num_parts=8).select(
+        "vid", F.round("rank", 8).alias("rank")
+    )
+
+
 def _q_repo_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """Flagship (north_rule): synthetic repos → ingest → PageRank → top files.
 
@@ -399,6 +519,52 @@ def _q_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     return cosine_topk(emb.filter(F.col("vec_id") < 10), emb, k=3)
 
 
+def _q_lsh_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-bucketed ANN (rows-only: approximate by design; pytest asserts
+    recall vs the exact oracle)."""
+    from goffish_v3_spark.operators.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return lsh_topk(emb.filter(F.col("vec_id") < 10), emb, k=3, dim=64)
+
+
+def _q_emb_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    from goffish_v3_spark.operators.similarity import embedding_near_duplicates
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return embedding_near_duplicates(emb, threshold=0.45)
+
+
+def _q_simhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """Rows-only: simhash uses Python's run-seeded string hash; exact-dup
+    groups in documents guarantee hamming-0 pairs regardless of seed."""
+    from goffish_v3_spark.operators.dedup import simhash_near_duplicates
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return simhash_near_duplicates(docs)
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact n-gram Jaccard over the MinHash candidate pairs (rows-only:
+    shingles are xxhash64-keyed)."""
+    from goffish_v3_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    cands = minhash_lsh_pairs(docs, jaccard_threshold=0.0).select("id_a", "id_b")
+    return ngram_jaccard_pairs(docs, cands)
+
+
+def _q_media_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal plumbing: synthesized binary media → Arrow-batched fake
+    decode → feature vectors (rows-only: generated in Spark)."""
+    from goffish_v3_spark.operators.multimodal import extract_features, synthesize_media
+
+    media = synthesize_media(spark, n=96, seed=7)
+    return extract_features(media, out_dim=16).select(
+        "media_id", "kind", F.round(F.element_at("features", 1), 6).alias("f0")
+    )
+
+
 def _q_events_window(spark: SparkSession, sf: str) -> DataFrame:
     """True Structured Streaming query drained into a memory sink."""
     from goffish_v3_spark.streaming.events import windowed_counts_stream
@@ -425,11 +591,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wcc_cs": _q_wcc_cs,
         "lpa_cs": _q_lpa_cs,
         "sssp_cs": _q_sssp_cs,
+        "sssp_weighted_cs": _q_sssp_weighted_cs,
         "triangle_count_copart": _q_tc_copart,
         "triangles_per_vertex_copart": _q_tc_vertex_copart,
         "degree_histogram_cs": _q_degree_hist_cs,
         "graph_stats_cs": _q_graph_stats_cs,
         "kcore3_copart": _q_kcore_copart,
+        "core_numbers_copart": _q_core_numbers_copart,
+        "vertex_count_cs": _q_vertex_count_cs,
+        "meta_graph_cs": _q_meta_graph_cs,
+        "spanning_forest_stats_cs": _q_spanning_forest_stats_cs,
+        "subgraph_pagerank_cs": _q_subgraph_pagerank_cs,
         "repo_pagerank_top20": _q_repo_pagerank,
         "doc_tokens": _q_doc_tokens,
         "doc_quality": _q_doc_quality,
@@ -437,7 +609,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": _q_dedup_exact,
         "minhash_lsh_pairs": _q_minhash_pairs,
         "doc_fingerprint": _q_doc_fingerprint,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "simhash_near_dups": _q_simhash_near_dups,
         "ann_cosine_top3": _q_ann_topk,
+        "lsh_ann_top3": _q_lsh_ann_topk,
+        "embedding_near_dups": _q_emb_near_dups,
+        "media_features": _q_media_features,
         "events_hourly_window_stream": _q_events_window,
         "events_sessionize": _q_sessions,
     }
@@ -450,18 +627,29 @@ def oracle_sql() -> dict[str, str]:
         "wcc_cs": WCC_SQL,
         "lpa_cs": _lpa_sql(),
         "sssp_cs": SSSP_SQL,
+        "sssp_weighted_cs": _sssp_weighted_sql(),
         "triangle_count_copart": TC_SQL,
         "triangles_per_vertex_copart": TC_VERTEX_SQL,
         "degree_histogram_cs": DEGREE_HIST_SQL,
         "graph_stats_cs": GRAPH_STATS_SQL,
-        # kcore3_copart: iterative peeling — not ANSI-SQL-expressible; rows-only
+        # kcore3_copart / core_numbers_copart: iterative peeling — not
+        # ANSI-SQL-expressible; rows-only
+        "vertex_count_cs": VERTEX_COUNT_SQL,
+        "spanning_forest_stats_cs": SPANNING_FOREST_STATS_SQL,
+        # meta_graph_cs: xxhash64 partition ids have no DuckDB twin; rows-only
+        # subgraph_pagerank_cs: local-convergence inner loop is iteration-order
+        # dependent; pytest asserts allclose vs plain PageRank; rows-only
         # repo_pagerank_top20: input generated in Spark, not a DuckDB view; rows-only
         "doc_tokens": DOC_TOKENS_SQL,
         "doc_quality": DOC_QUALITY_SQL,
         "lang_id": LANG_ID_SQL,
         "dedup_exact_groups": DEDUP_EXACT_SQL,
-        # minhash_lsh_pairs / doc_fingerprint: xxhash64-based; rows-only
+        # minhash_lsh_pairs / doc_fingerprint / ngram_jaccard_pairs /
+        # simhash_near_dups: xxhash64- or run-seeded-hash-based; rows-only
         "ann_cosine_top3": ANN_TOPK_SQL,
+        # lsh_ann_top3: approximate by design; recall vs exact asserted in pytest
+        "embedding_near_dups": EMB_NEAR_DUP_SQL,
+        # media_features: synthesized-in-Spark binary payloads; rows-only
         "events_hourly_window_stream": EVENTS_WINDOW_SQL,
         "events_sessionize": SESSIONS_SQL,
     }

@@ -1,0 +1,218 @@
+"""Spanning forest — the reference's two-level subgraph-centric design.
+
+Semantics: sample-hama SpanningForest.java:41-115 — SS0 builds a BFS tree
+inside each subgraph (``BFS()``, :81-99), then components merge across the
+meta-graph by min-cid propagation like ConnectedComponents (:65-77), and
+``wrapup`` emits the cross-subgraph bridge edges (:109-113). The output is a
+set of edges forming a spanning tree of every weak component.
+
+Our shape mirrors the reference's *vertex-disjoint* partitioning (every
+vertex owned by exactly one partition — hama Partition.java:32; remote
+vertices are only stubs), which is what keeps the union of local trees
+acyclic:
+
+1. **Partition-local forest** over intra-partition edges (both endpoints
+   hash to the partition): an Arrow-batched ``applyInPandas`` kernel runs a
+   fully vectorized Boruvka — per round every component picks its
+   minimum-key incident cross-component edge; with globally distinct edge
+   keys only mutual 2-cycles occur (both sides pick the *same* edge — the
+   classic Boruvka lemma), so hook + pointer-jump contraction is pure numpy
+   with no per-edge Python loop.
+2. **Meta forest**: cross-partition edges are tagged with their endpoints'
+   local component labels and contracted to one representative edge per
+   label pair (``groupBy().agg(min(struct))``), then the same Boruvka kernel
+   runs once over the contracted meta table — the analogue of the
+   reference's subgraph meta-graph; its picked edges are the output
+   ``bridge`` rows (SpanningForest.java:109-113).
+3. Tree = local tree edges ∪ bridges (every output row is an input edge);
+   labels = min member vid per component, identical groupings to
+   :func:`operators.wcc.wcc`.
+
+At 100 TB step 1 never shuffles edge payloads (one hash shuffle to
+co-locate intra edges), and only label-pair representatives cross the
+cluster for step 2.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from goffish_v3_spark.plans.partitioner import vertex_part
+
+
+def _boruvka_numpy(src: np.ndarray, dst: np.ndarray):
+    """Vectorized Boruvka over one edge block.
+
+    Returns ``(tree_mask, vids, labels)``: boolean mask of spanning edges,
+    the distinct vertex ids, and each vertex's component label (= min member
+    vid). Edge key = rank in a lexicographic sort of (src, dst), distinct
+    because the pairs are deduped.
+    """
+    vids, codes = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    u = codes[: len(src)].astype(np.int64)
+    v = codes[len(src):].astype(np.int64)
+    n = len(vids)
+    label = np.arange(n, dtype=np.int64)
+    ekey = np.lexsort((dst, src)).argsort().astype(np.int64)
+    tree = np.zeros(len(src), dtype=bool)
+
+    alive = np.ones(len(src), dtype=bool)
+    while True:
+        lu, lv = label[u], label[v]
+        cross = alive & (lu != lv)
+        if not cross.any():
+            break
+        ci = np.flatnonzero(cross)
+        ck = ekey[ci]
+        # per-component minimum-key incident edge, both directions counted
+        comp = np.concatenate([lu[ci], lv[ci]])
+        keys2 = np.concatenate([ck, ck])
+        eidx2 = np.concatenate([ci, ci])
+        order = np.lexsort((keys2, comp))
+        comp_s, eidx_s = comp[order], eidx2[order]
+        first = np.ones(len(comp_s), dtype=bool)
+        first[1:] = comp_s[1:] != comp_s[:-1]
+        pick_comp = comp_s[first]
+        pick_edge = eidx_s[first]
+        tree[np.unique(pick_edge)] = True
+        # hook each picking component onto the other endpoint's label
+        other = np.where(
+            label[u[pick_edge]] == pick_comp, label[v[pick_edge]], label[u[pick_edge]]
+        )
+        m = np.arange(n, dtype=np.int64)
+        m[pick_comp] = other
+        # break mutual 2-cycles (both ends picked the same edge)
+        two = m[m] == np.arange(n)
+        m[two] = np.minimum(m[two], np.arange(n)[two])
+        while True:  # pointer jumping to fixpoint
+            mm = m[m]
+            if np.array_equal(mm, m):
+                break
+            m = mm
+        label = m[label]
+        alive = alive & (label[u] != label[v])
+
+    min_vid = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(min_vid, label, vids)
+    return tree, vids, min_vid[label]
+
+
+_LOCAL_SCHEMA = "src long, dst long, is_tree boolean, label long"
+
+
+def _local_forest(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Intra-partition edges → tree membership + local component label
+    (label_src == label_dst for every row: the block ran to fixpoint)."""
+    if len(pdf) == 0:
+        return pd.DataFrame(
+            {
+                "src": pd.Series(dtype="int64"),
+                "dst": pd.Series(dtype="int64"),
+                "is_tree": pd.Series(dtype="bool"),
+                "label": pd.Series(dtype="int64"),
+            }
+        )
+    src = pdf["src"].to_numpy(dtype=np.int64)
+    dst = pdf["dst"].to_numpy(dtype=np.int64)
+    tree, vids, labels = _boruvka_numpy(src, dst)
+    pos = np.searchsorted(vids, src)
+    return pd.DataFrame(
+        {"src": src, "dst": dst, "is_tree": tree, "label": labels[pos]}
+    )
+
+
+def spanning_forest(
+    spark: SparkSession, edges: DataFrame, num_parts: int = 8
+) -> tuple[DataFrame, DataFrame]:
+    """Return ``(tree_edges, labels)``.
+
+    ``tree_edges(src, dst, bridge boolean)`` — a spanning forest; ``bridge``
+    marks cross-partition merge edges (the reference's wrapup output).
+    ``labels(vid, label)`` — component label (min member vid).
+    """
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst"))
+        .distinct()
+        .withColumn("sp", vertex_part(F.col("src"), num_parts))
+        .withColumn("dp", vertex_part(F.col("dst"), num_parts))
+        .persist()
+    )
+    tagged = (
+        e.filter(F.col("sp") == F.col("dp"))
+        .select("src", "dst", F.col("sp").alias("part"))
+        .groupBy("part")
+        .applyInPandas(lambda pdf: _local_forest(pdf), schema=_LOCAL_SCHEMA)
+        .persist()
+    )
+    local_tree = tagged.filter("is_tree").select("src", "dst")
+
+    # every vertex with ≥1 intra edge carries its local label; others are
+    # singleton components labelled by their own vid
+    vlab = (
+        tagged.select(F.col("src").alias("vid"), "label")
+        .unionByName(tagged.select(F.col("dst").alias("vid"), "label"))
+        .distinct()
+    )
+    la = vlab.select(F.col("vid").alias("src"), F.col("label").alias("la"))
+    lb = vlab.select(F.col("vid").alias("dst"), F.col("label").alias("lb"))
+    crossl = (
+        e.filter(F.col("sp") != F.col("dp"))
+        .select("src", "dst")
+        .join(la, "src", "left")
+        .join(lb, "dst", "left")
+        .select(
+            "src",
+            "dst",
+            F.coalesce("la", F.col("src")).alias("la"),
+            F.coalesce("lb", F.col("dst")).alias("lb"),
+        )
+    )
+    # contract to one representative original edge per component pair
+    meta_pdf = (
+        crossl.groupBy(
+            F.least("la", "lb").alias("a"), F.greatest("la", "lb").alias("b")
+        )
+        .agg(F.min(F.struct("src", "dst")).alias("rep"))
+        .select("a", "b", F.col("rep.src").alias("src"), F.col("rep.dst").alias("dst"))
+        .toPandas()
+    )
+
+    all_vertices = (
+        e.select(F.col("src").alias("vid"))
+        .unionByName(e.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    base_labels = all_vertices.join(vlab, "vid", "left").select(
+        "vid", F.coalesce("label", F.col("vid")).alias("label")
+    )
+
+    if len(meta_pdf):
+        tree_mask, comps, final = _boruvka_numpy(
+            meta_pdf["a"].to_numpy(dtype=np.int64),
+            meta_pdf["b"].to_numpy(dtype=np.int64),
+        )
+        bridges_pdf = meta_pdf.loc[tree_mask, ["src", "dst"]]
+        mapping = spark.createDataFrame(
+            pd.DataFrame({"label": comps, "final": final}),
+            schema="label long, final long",
+        )
+        labels = base_labels.join(F.broadcast(mapping), "label", "left").select(
+            "vid", F.coalesce("final", "label").alias("label")
+        )
+        bridge_df = spark.createDataFrame(
+            bridges_pdf, schema="src long, dst long"
+        )
+        tree_edges = local_tree.withColumn("bridge", F.lit(False)).unionByName(
+            bridge_df.withColumn("bridge", F.lit(True))
+        )
+    else:
+        labels = base_labels
+        tree_edges = local_tree.withColumn("bridge", F.lit(False))
+
+    e.unpersist()
+    return tree_edges, labels

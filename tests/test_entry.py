@@ -12,8 +12,9 @@ def test_oracle_keys_subset_of_queries():
     q = set(E.queries())
     o = set(E.oracle_sql())
     assert o <= q
-    # most queries should have oracles (rows-only is the exception)
-    assert len(o) >= len(q) - 6
+    # most queries should have oracles (rows-only is the documented
+    # exception — 11 of them as of round 1; keep the ratio honest)
+    assert len(o) >= len(q) - 11
 
 
 def test_entry_returns_rows(spark):
