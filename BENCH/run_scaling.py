@@ -33,9 +33,15 @@ from goffish_v3_spark.sources.tpch_graph import customer_supplier_edges
 from goffish_v3_spark.sources.ingest import ingest
 from goffish_v3_spark.sources.synthetic import generate_repos
 
+n_repos = int(os.environ.get("SCALING_N_REPOS", "2000"))
+files_per_repo = int(os.environ.get("SCALING_FILES_PER_REPO", "500"))
+# IDENTICAL job at both parallelism levels: same shuffle partition count
+# (sized for the big run), only the core count varies — the honest analogue
+# of running one fixed cluster job at N vs 4N executors
+shuffle_parts = int(os.environ.get("SCALING_SHUFFLE_PARTS", "64"))
 spark = get_spark(app_name=f"scaling-{cores}", master=f"local[{cores}]",
-                  shuffle_partitions=cores)
-repos = generate_repos(spark, n_repos=100, files_per_repo=300, seed=42)
+                  shuffle_partitions=shuffle_parts)
+repos = generate_repos(spark, n_repos=n_repos, files_per_repo=files_per_repo, seed=42)
 edges = ingest(repos).edges.persist()
 n_edges = edges.count()
 # warmup superstep machinery
@@ -90,7 +96,8 @@ def main() -> None:
     lines = [
         f"\n## Scaling run {stamp}",
         "",
-        f"Input: synthetic repos graph (100×300 files, {small['edges']} edges), "
+        f"Input: synthetic repos graph ({os.environ.get('SCALING_N_REPOS', '2000')}×"
+        f"{os.environ.get('SCALING_FILES_PER_REPO', '500')} files, {small['edges']} edges), "
         f"PageRank ×{iters} fixed supersteps, sf aux dir `{sf}`.",
         "",
         "| cores | wall s | edges-traversed/sec |",

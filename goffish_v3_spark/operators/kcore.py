@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from goffish_v3_spark.plans.superstep import no_aqe
+
 
 def _undirected(edges: DataFrame) -> DataFrame:
     e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
@@ -43,6 +45,11 @@ def _peel_to_k(spark, und: DataFrame, k: int, max_rounds: int = 1000):
     where removed is the list of per-round removed-vertex DataFrames."""
     removed_all = None
     cur = und.localCheckpoint(eager=True)
+    with no_aqe(spark):
+        return _peel_loop(cur, k, max_rounds, removed_all)
+
+
+def _peel_loop(cur, k, max_rounds, removed_all):
     for _ in range(max_rounds):
         deg = _degrees(cur)
         low = deg.filter(F.col("deg") < k).select("vid").persist()

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
+from goffish_v3_spark.plans.superstep import no_aqe
+
 INF = float("inf")
 
 
@@ -61,6 +63,13 @@ def sssp(
     ).localCheckpoint(eager=True)
     frontier = dist.filter(F.col("dist") == 0.0).select("vid", "dist")
 
+    with no_aqe(spark):
+        dist = _relax_loop(e, dist, frontier, max_iter)
+    e.unpersist()
+    return dist
+
+
+def _relax_loop(e, dist, frontier, max_iter):
     for i in range(max_iter):
         candidates = (
             frontier.join(e, frontier.vid == e.src)
@@ -94,5 +103,4 @@ def sssp(
         if improved == 0:
             break
 
-    e.unpersist()
     return dist

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from goffish_v3_spark.plans.csr import CsrBlock, build_csr_blocks
+from goffish_v3_spark.plans.superstep import no_aqe
 
 OUT_SCHEMA = "part int, kind int, vid long, a double, b double"
 
@@ -176,6 +177,17 @@ def csr_pagerank(
     state = blocks.mapInPandas(init_rows, schema=OUT_SCHEMA).localCheckpoint(eager=True)
     msgs = spark.createDataFrame([], "part int, kind int, vid long, a double, b double")
 
+    with no_aqe(spark):
+        state = _csr_loop(blocks, state, msgs, alpha, base, eps, max_iter)
+
+    result = state.select("vid", F.col("a").alias("rank"))
+    result = result.localCheckpoint(eager=True)
+    if own_blocks:
+        blocks.unpersist()
+    return result
+
+
+def _csr_loop(blocks, state, msgs, alpha, base, eps, max_iter):
     for i in range(max_iter):
         kernel = _make_kernel(i, alpha, base)
         mixed = state.unionByName(msgs)
@@ -196,10 +208,6 @@ def csr_pagerank(
         if delta is not None and delta <= eps:
             break
 
-    result = state.select("vid", F.col("a").alias("rank"))
-    result = result.localCheckpoint(eager=True)
-    if own_blocks:
-        blocks.unpersist()
-    return result
+    return state
 
 

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from goffish_v3_spark.plans.partitioner import vertex_part
+from goffish_v3_spark.plans.superstep import no_aqe
 
 
 def _local_components(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -97,6 +98,13 @@ def _hash_min_fixpoint(spark: SparkSession, meta_edges: DataFrame, max_iter: int
     sym = sym.distinct().persist()
     nodes = sym.select(F.col("a").alias("label")).distinct()
     mapping = nodes.withColumn("root", F.col("label")).localCheckpoint(eager=True)
+    with no_aqe(spark):
+        mapping = _min_rounds(sym, mapping, max_iter)
+    sym.unpersist()
+    return mapping
+
+
+def _min_rounds(sym: DataFrame, mapping: DataFrame, max_iter: int) -> DataFrame:
     prev_sum = None
 
     for _ in range(max_iter):
@@ -131,7 +139,6 @@ def _hash_min_fixpoint(spark: SparkSession, meta_edges: DataFrame, max_iter: int
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
-    sym.unpersist()
     return mapping
 
 

@@ -154,16 +154,20 @@ def build_csr_blocks(
         vertex_part(F.col("dst"), num_parts).alias("dst_part"),
         F.lit("e").alias("kind"),
     )
+    # v rows carry NO nulls: a null in an int64 column turns the whole
+    # pandas-side column float64 inside applyInPandas, silently corrupting
+    # full-range xxhash64 vids (> 2^53) — dst/dst_part mirror the vertex
+    # itself and are ignored by the builder for kind='v'
     v = (
         edges.select(F.col("src").alias("vid"))
         .unionByName(edges.select(F.col("dst").alias("vid")))
         .distinct()
         .select(
             F.col("vid").alias("src"),
-            F.lit(None).cast("long").alias("dst"),
+            F.col("vid").alias("dst"),
             F.lit(0.0).alias("w"),
             vertex_part(F.col("vid"), num_parts).alias("part"),
-            F.lit(None).cast("int").alias("dst_part"),
+            vertex_part(F.col("vid"), num_parts).alias("dst_part"),
             F.lit("v").alias("kind"),
         )
     )

@@ -115,27 +115,24 @@ def extract_references(repos: DataFrame) -> DataFrame:
 def ingest(repos: DataFrame, weighted: bool = False) -> LinkGraph:
     """Derive the link graph. ``w`` = 1.0 (or #occurrences if weighted).
 
-    References to files that don't exist in the corpus are dropped via a
-    semi-join against the vertex dimension (realistic: unresolved imports).
-    The dimension side is small relative to content (two string columns) —
-    at 10^12 files it is still a shuffle join on (repo, path), which Spark
-    plans as sort-merge with both sides hash-partitioned; at test scale AQE
-    turns it into a broadcast join automatically.
+    Vertex ids are a pure function of (repo, path) — ``xxhash64`` — so both
+    endpoint ids are *computed* on the reference rows, never joined for.
+    The only join is one left-semi on the 8-byte dst vid against the vertex
+    dimension, dropping references to files that don't exist in the corpus
+    (realistic: unresolved imports). At 10^12 files that is a single
+    long-keyed semi-join (AQE broadcasts it at test scale) versus the naive
+    two sort-merge joins on string pairs — the same trick as the reference's
+    coordination-free packed ids (LongTextAdjacencyListReader.java:98,294).
     """
     vertices = build_vertices(repos)
     refs = extract_references(repos)
 
-    # the vertex dimension is referenced twice below and its parent plan (the
-    # repos scan/generator) can be expensive — cache the 3-column projection
-    vdim = vertices.select("vid", "repo", "path").persist()
-    src_side = refs.join(
-        vdim.withColumnRenamed("vid", "src"),
-        (refs.src_repo == vdim.repo) & (refs.src_path == vdim.path),
-    ).select("src", "dst_repo", "dst_path")
-    resolved = src_side.join(
-        vdim.withColumnRenamed("vid", "dst"),
-        (src_side.dst_repo == vdim.repo) & (src_side.dst_path == vdim.path),
-    ).select("src", "dst")
+    resolved = refs.select(
+        file_vid("src_repo", "src_path").alias("src"),
+        file_vid("dst_repo", "dst_path").alias("dst"),
+    ).join(
+        vertices.select(F.col("vid").alias("dst")), "dst", "left_semi"
+    )
 
     resolved = resolved.filter(F.col("src") != F.col("dst"))
     if weighted:

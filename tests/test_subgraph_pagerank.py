@@ -43,3 +43,58 @@ def test_partition_invariance(spark):
     for v in results[0]:
         assert results[0][v] == pytest.approx(results[1][v], abs=1e-9)
         assert results[0][v] == pytest.approx(results[2][v], abs=1e-9)
+
+
+def test_csr_routing_with_hash_range_vids(spark):
+    """Regression: vertex rows must not introduce nulls into the int64 dst
+    column — pandas would coerce it to float64 and corrupt xxhash64-range
+    vids (> 2^53), misrouting every cross-partition message."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from goffish_v3_spark.plans.csr import CsrBlock, build_csr_blocks
+    from tests.graphs import barabasi_albert, to_df
+
+    df = to_df(spark, barabasi_albert(200, m=3, seed=11))
+    # remap vids through xxhash64 so they span the full 64-bit range
+    e = df.select(
+        F.xxhash64(F.col("src").cast("string")).alias("src"),
+        F.xxhash64(F.col("dst").cast("string")).alias("dst"),
+        "w",
+    )
+    blocks = {r["part"]: CsrBlock(r) for r in build_csr_blocks(spark, e, 4).collect()}
+    for b in blocks.values():
+        remote = b.edge_dst_local < 0
+        rvid, rpart = b.edge_dst_vid[remote], b.edge_dst_part[remote]
+        for q in np.unique(rpart):
+            tgt = blocks[int(q)]
+            vids = rvid[rpart == q]
+            pos = np.searchsorted(tgt.local_vids, vids)
+            ok = (pos < len(tgt.local_vids)) & (
+                tgt.local_vids[np.minimum(pos, len(tgt.local_vids) - 1)] == vids
+            )
+            assert ok.all(), f"misrouted messages from part {b.part} to {q}"
+
+
+def test_csr_pagerank_hash_range_vids_matches_df(spark):
+    import pyspark.sql.functions as F
+
+    from goffish_v3_spark.operators.pagerank import pagerank
+    from goffish_v3_spark.operators.subgraph_pagerank import csr_pagerank
+    from tests.graphs import barabasi_albert, to_df
+
+    df = to_df(spark, barabasi_albert(150, m=3, seed=5))
+    e = df.select(
+        F.xxhash64(F.col("src").cast("string")).alias("src"),
+        F.xxhash64(F.col("dst").cast("string")).alias("dst"),
+        "w",
+    )
+    a = pagerank(spark, e, fixed_iterations=5)
+    # csr superstep 0 only seeds contributions → k rank updates = k+1 supersteps
+    b = csr_pagerank(spark, e, num_parts=4, max_iter=6, eps=0.0)
+    joined = a.withColumnRenamed("rank", "r1").join(
+        b.withColumnRenamed("rank", "r2"), "vid"
+    )
+    assert joined.count() == a.count()
+    mx = joined.select(F.max(F.abs(F.col("r1") - F.col("r2"))).alias("d")).collect()[0]["d"]
+    assert mx < 1e-9
