@@ -431,6 +431,16 @@ def _q_spanning_forest_stats_cs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_kmeans_partition_cs(spark: SparkSession, sf: str) -> DataFrame:
+    """Balanced k-way partitioning minimizing edge crossings (KMeans.java
+    semantics). Rows-only: seeds/fallback are xxhash64-derived; pytest
+    asserts coverage, determinism, and crossings < random baseline."""
+    from goffish_v3_spark.operators.kmeans_partition import kmeans_partition
+
+    e = customer_supplier_edges(spark, sf)
+    return kmeans_partition(spark, e, k=4)
+
+
 def _q_subgraph_pagerank_cs(spark: SparkSession, sf: str) -> DataFrame:
     """Block PageRank over partition-local CSR kernels (SubgraphRank.java
     semantics). Rows-only: the local-convergence inner loop is iteration-
@@ -602,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_graph_cs": _q_meta_graph_cs,
         "spanning_forest_stats_cs": _q_spanning_forest_stats_cs,
         "subgraph_pagerank_cs": _q_subgraph_pagerank_cs,
+        "kmeans_partition_cs": _q_kmeans_partition_cs,
         "repo_pagerank_top20": _q_repo_pagerank,
         "doc_tokens": _q_doc_tokens,
         "doc_quality": _q_doc_quality,

@@ -45,6 +45,7 @@ def pagerank_with_info(
     run_id: str | None = None,
     resume: bool = False,
     checkpoint_every: int = 5,
+    chain_every: int = 5,
 ) -> tuple[DataFrame, RunInfo]:
     """Run PageRank; return (scores ``(vid, rank)``, RunInfo).
 
@@ -75,8 +76,19 @@ def pagerank_with_info(
     adj.count()
     e.unpersist()
 
+    # static vertex dimension, pre-partitioned + sorted like adj: in fixed-
+    # iteration mode the rank update depends ONLY on the contributions
+    # (rank' = α·Σ + base), so the update join runs against this cached
+    # table and the per-superstep plan shuffles just (a) the state into
+    # join1 and (b) the contributions — the old-state side of the update
+    # join costs no exchange and no sort
+    vdim = (
+        vertices.repartition(n_shuffle, "vid").sortWithinPartitions("vid").persist()
+    )
+    vdim.count()
+
     # sever the (possibly expensive) upstream plan from the iterative loop
-    init = vertices.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    init = vdim.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
     base = (1.0 - alpha) / n
 
     def step(state: DataFrame, i: int) -> StepResult:
@@ -86,18 +98,26 @@ def pagerank_with_info(
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
+        if fixed_iterations is not None:
+            new_state = vdim.join(contrib, vdim.vid == contrib.dst, "left").select(
+                "vid",
+                (alpha * F.coalesce(F.col("s"), F.lit(0.0)) + base).alias("rank"),
+            )
+            done = i + 1 >= fixed_iterations
+            # chain supersteps into one job, materializing only at chain
+            # boundaries: each superstep references the previous state once,
+            # so the lazy plan grows linearly, and the per-superstep serial
+            # cost (driver round-trip + checkpoint pass — measured ~7 s/step
+            # at 55M edges regardless of cores) is paid once per chain
+            # instead of once per superstep
+            if done or (i + 1) % chain_every == 0:
+                new_state = new_state.localCheckpoint(eager=True)
+            return StepResult(new_state, done, truncated=True)
         new_state = state.join(contrib, state.vid == contrib.dst, "left").select(
             "vid",
             (alpha * F.coalesce(F.col("s"), F.lit(0.0)) + base).alias("rank"),
             F.col("rank").alias("_old"),
         )
-        if fixed_iterations is not None:
-            done = i + 1 >= fixed_iterations
-            return StepResult(
-                new_state.select("vid", "rank").localCheckpoint(eager=True),
-                done,
-                truncated=True,
-            )
         # ONE job per superstep: the ε-gate rides along the localCheckpoint
         # materialization as an observed metric (reference's all-converged
         # gate, PageRank.java:108-116, evaluated driver-side)
@@ -120,6 +140,7 @@ def pagerank_with_info(
     )
     info = loop.run(init, step, resume=resume)
     adj.unpersist()
+    vdim.unpersist()
     return info.state, info
 
 
