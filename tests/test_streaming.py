@@ -28,3 +28,24 @@ def test_sessionize_batch_shape(spark, sf_dir):
     sessions = sessionize_batch(events, gap_minutes=30).collect()
     assert len(sessions) >= events.select("user_id").distinct().count()
     assert sum(r.n_events for r in sessions) == events.count()
+
+
+def test_sessionize_stream_equals_batch(spark, sf_dir):
+    """Stateful session_window streaming must produce the same session
+    boundaries as the batch window-function twin."""
+    from goffish_v3_spark.streaming.events import sessionize_batch, sessionize_stream
+    import pyspark.sql.functions as F
+
+    path = f"{sf_dir}/events.parquet"
+    batch = sessionize_batch(spark.read.parquet(path), gap_minutes=30)
+    stream = sessionize_stream(spark, path, gap_minutes=30, query_name="sess_eq")
+    assert stream.count() == batch.count()
+    b = {
+        (r.user_id, r.session_start, r.n_events, round(r.total_value, 6))
+        for r in batch.collect()
+    }
+    s = {
+        (r.user_id, r.session_start, r.n_events, round(r.total_value, 6))
+        for r in stream.collect()
+    }
+    assert s == b
