@@ -64,14 +64,6 @@ def kmeans_partition(
     with no_aqe(spark):
         for _ in range(max_rounds):
             # candidates: unassigned neighbours of the frontier
-            cand = (
-                frontier.join(und, frontier.vid == und.src)
-                .select(F.col("dst").alias("vid"), "cluster")
-                .join(labels.select(F.col("vid").alias("a_vid")),
-                      F.col("vid") == F.col("a_vid"), "left_anti")
-            )
-            if cand.isEmpty():
-                break
             # balance heuristic: adopt the smallest candidate cluster
             sizes = {
                 r["cluster"]: r["n"]
@@ -82,17 +74,28 @@ def kmeans_partition(
                 F.col("cluster") + 1,
             )
             newly = (
-                cand.withColumn("sz", size_expr)
+                frontier.join(und, frontier.vid == und.src)
+                .select(F.col("dst").alias("vid"), "cluster")
+                .join(labels.select(F.col("vid").alias("a_vid")),
+                      F.col("vid") == F.col("a_vid"), "left_anti")
+                .withColumn("sz", size_expr)
                 .groupBy("vid")
                 .agg(F.min(F.struct("sz", "cluster")).alias("m"))
                 .select("vid", F.col("m.cluster").alias("cluster"))
+                .localCheckpoint(eager=True)
             )
-            newly = newly.localCheckpoint(eager=True)
+            if newly.isEmpty():
+                break
             labels = labels.unionByName(newly).localCheckpoint(eager=True)
             frontier = newly
 
-    # fall back for vertices unreachable from every seed
-    allv = und.select(F.col("src").alias("vid")).distinct()
+    # fall back for vertices unreachable from every seed; build the universe
+    # from the RAW edges so self-loop-only vertices stay covered
+    allv = (
+        edges.select(F.col("src").alias("vid"))
+        .unionByName(edges.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
     rest = allv.join(labels, "vid", "left_anti").select(
         "vid", F.pmod(F.xxhash64("vid"), F.lit(k)).cast("int").alias("cluster")
     )

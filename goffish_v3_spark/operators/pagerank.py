@@ -59,6 +59,11 @@ def pagerank_with_info(
         .distinct()
     )
     n = vertices.count()
+    if n == 0:
+        empty = spark.createDataFrame([], "vid long, rank double")
+        e.unpersist()
+        return empty, RunInfo(run_id="empty", supersteps=0, converged=True,
+                              wall_s=0.0, state=empty)
     outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
     # adjacency annotated with source out-degree once, reused every superstep.
     # Persist it pre-shuffled AND pre-sorted on the join key: the cached plan
@@ -74,21 +79,27 @@ def pagerank_with_info(
         .persist()
     )
     adj.count()
-    e.unpersist()
 
     # static vertex dimension, pre-partitioned + sorted like adj: in fixed-
     # iteration mode the rank update depends ONLY on the contributions
     # (rank' = α·Σ + base), so the update join runs against this cached
     # table and the per-superstep plan shuffles just (a) the state into
     # join1 and (b) the contributions — the old-state side of the update
-    # join costs no exchange and no sort
-    vdim = (
-        vertices.repartition(n_shuffle, "vid").sortWithinPartitions("vid").persist()
-    )
-    vdim.count()
+    # join costs no exchange and no sort. ε-mode needs the previous rank for
+    # the delta, so it joins against the live state and skips this cache.
+    vdim = None
+    if fixed_iterations is not None:
+        vdim = (
+            vertices.repartition(n_shuffle, "vid").sortWithinPartitions("vid").persist()
+        )
+        vdim.count()  # materialize while e (vertices' parent) is still cached
+        init_src = vdim
+    else:
+        init_src = vertices
 
     # sever the (possibly expensive) upstream plan from the iterative loop
-    init = vdim.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    init = init_src.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    e.unpersist()
     base = (1.0 - alpha) / n
 
     def step(state: DataFrame, i: int) -> StepResult:
@@ -140,7 +151,8 @@ def pagerank_with_info(
     )
     info = loop.run(init, step, resume=resume)
     adj.unpersist()
-    vdim.unpersist()
+    if vdim is not None:
+        vdim.unpersist()
     return info.state, info
 
 

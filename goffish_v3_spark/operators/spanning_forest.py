@@ -124,6 +124,88 @@ def _local_forest(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _distributed_meta_boruvka(
+    spark: SparkSession, meta: DataFrame, max_rounds: int = 64
+) -> tuple[DataFrame, DataFrame]:
+    """Spanning forest of the contracted component graph, fully distributed.
+
+    ``meta(a, b, src, dst)``: one representative original edge per component
+    pair (a < b). Per round every component picks its minimum-key incident
+    edge (one ``groupBy().agg(min(struct))`` — with a total order on edges
+    only mutual same-edge 2-cycles occur, the Boruvka lemma, so each merge
+    group of k components contributes exactly k−1 distinct edges), then the
+    pick pairs are collapsed with the distributed hash-min fixpoint from
+    operators.wcc and the meta table is relabeled through the mapping.
+    Components at least halve per round → O(log V) rounds; nothing larger
+    than the pick set (≤ one row per live component) leaves its stage.
+
+    Returns ``(bridges(src, dst), mapping(label, root))``.
+    """
+    from goffish_v3_spark.operators.wcc import _hash_min_fixpoint
+
+    bridges = spark.createDataFrame([], "src long, dst long")
+    total_map = None  # (label, root) accumulated over rounds
+    cur = meta.localCheckpoint(eager=True)
+
+    for _ in range(max_rounds):
+        if cur.isEmpty():
+            break
+        both = cur.select(
+            F.col("a").alias("comp"), F.struct("a", "b", "src", "dst").alias("e")
+        ).unionByName(
+            cur.select(F.col("b").alias("comp"), F.struct("a", "b", "src", "dst").alias("e"))
+        )
+        picks = (
+            both.groupBy("comp").agg(F.min("e").alias("e"))
+            .select("e.a", "e.b", "e.src", "e.dst")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        bridges = bridges.unionByName(picks.select("src", "dst")).localCheckpoint(
+            eager=True
+        )
+        round_map = _hash_min_fixpoint(spark, picks.select("a", "b"))
+        # fold into the running label→root mapping
+        if total_map is None:
+            total_map = round_map.localCheckpoint(eager=True)
+        else:
+            total_map = (
+                total_map.join(
+                    round_map.select(
+                        F.col("label").alias("r_label"), F.col("root").alias("r_root")
+                    ),
+                    total_map.root == F.col("r_label"),
+                    "left",
+                )
+                .select("label", F.coalesce("r_root", "root").alias("root"))
+                .localCheckpoint(eager=True)
+            )
+        # relabel the meta table and drop now-internal pairs
+        ra = round_map.select(F.col("label").alias("a"), F.col("root").alias("ra"))
+        rb = round_map.select(F.col("label").alias("b"), F.col("root").alias("rb"))
+        cur = (
+            cur.join(ra, "a", "left")
+            .join(rb, "b", "left")
+            .select(
+                F.coalesce("ra", F.col("a")).alias("na"),
+                F.coalesce("rb", F.col("b")).alias("nb"),
+                "src",
+                "dst",
+            )
+            .filter(F.col("na") != F.col("nb"))
+            .groupBy(
+                F.least("na", "nb").alias("a"), F.greatest("na", "nb").alias("b")
+            )
+            .agg(F.min(F.struct("src", "dst")).alias("rep"))
+            .select("a", "b", F.col("rep.src").alias("src"), F.col("rep.dst").alias("dst"))
+            .localCheckpoint(eager=True)
+        )
+
+    if total_map is None:
+        total_map = spark.createDataFrame([], "label long, root long")
+    return bridges, total_map
+
+
 def spanning_forest(
     spark: SparkSession, edges: DataFrame, num_parts: int = 8
 ) -> tuple[DataFrame, DataFrame]:
@@ -131,8 +213,15 @@ def spanning_forest(
 
     ``tree_edges(src, dst, bridge boolean)`` — a spanning forest; ``bridge``
     marks cross-partition merge edges (the reference's wrapup output).
-    ``labels(vid, label)`` — component label (min member vid).
+    ``labels(vid, label)`` — component label (min member vid), covering every
+    vertex of the input including self-loop-only singletons. Both outputs are
+    materialized before internal caches are released.
     """
+    all_vertices = (
+        edges.select(F.col("src").alias("vid"))
+        .unionByName(edges.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
     e = (
         edges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
@@ -172,47 +261,33 @@ def spanning_forest(
             F.coalesce("lb", F.col("dst")).alias("lb"),
         )
     )
-    # contract to one representative original edge per component pair
-    meta_pdf = (
+    # contract to one representative original edge per component pair —
+    # stays a DataFrame: the meta spanning tree is computed distributed
+    # (O(log V) Boruvka rounds), never collected to the driver
+    meta = (
         crossl.groupBy(
             F.least("la", "lb").alias("a"), F.greatest("la", "lb").alias("b")
         )
         .agg(F.min(F.struct("src", "dst")).alias("rep"))
         .select("a", "b", F.col("rep.src").alias("src"), F.col("rep.dst").alias("dst"))
-        .toPandas()
     )
 
-    all_vertices = (
-        e.select(F.col("src").alias("vid"))
-        .unionByName(e.select(F.col("dst").alias("vid")))
-        .distinct()
-    )
+    bridges, mapping = _distributed_meta_boruvka(spark, meta)
+
     base_labels = all_vertices.join(vlab, "vid", "left").select(
         "vid", F.coalesce("label", F.col("vid")).alias("label")
     )
+    labels = (
+        base_labels.join(mapping, "label", "left")
+        .select("vid", F.coalesce("root", "label").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    tree_edges = (
+        local_tree.withColumn("bridge", F.lit(False))
+        .unionByName(bridges.withColumn("bridge", F.lit(True)))
+        .localCheckpoint(eager=True)
+    )
 
-    if len(meta_pdf):
-        tree_mask, comps, final = _boruvka_numpy(
-            meta_pdf["a"].to_numpy(dtype=np.int64),
-            meta_pdf["b"].to_numpy(dtype=np.int64),
-        )
-        bridges_pdf = meta_pdf.loc[tree_mask, ["src", "dst"]]
-        mapping = spark.createDataFrame(
-            pd.DataFrame({"label": comps, "final": final}),
-            schema="label long, final long",
-        )
-        labels = base_labels.join(F.broadcast(mapping), "label", "left").select(
-            "vid", F.coalesce("final", "label").alias("label")
-        )
-        bridge_df = spark.createDataFrame(
-            bridges_pdf, schema="src long, dst long"
-        )
-        tree_edges = local_tree.withColumn("bridge", F.lit(False)).unionByName(
-            bridge_df.withColumn("bridge", F.lit(True))
-        )
-    else:
-        labels = base_labels
-        tree_edges = local_tree.withColumn("bridge", F.lit(False))
-
+    tagged.unpersist()
     e.unpersist()
     return tree_edges, labels

@@ -146,13 +146,19 @@ def build_csr_blocks(
     with no out-edges still appears in its partition's block (rank sinks,
     matching the reference's sink-less Vertex objects).
     """
-    e = edges.select(
-        "src",
-        "dst",
-        F.col("w").cast("double").alias("w"),
-        vertex_part(F.col("src"), num_parts).alias("part"),
-        vertex_part(F.col("dst"), num_parts).alias("dst_part"),
-        F.lit("e").alias("kind"),
+    # dedup multi-edges (min weight), matching operators.pagerank's
+    # edges.distinct() so the CSR and DataFrame paths agree on out-degrees
+    e = (
+        edges.groupBy("src", "dst")
+        .agg(F.min(F.col("w").cast("double")).alias("w"))
+        .select(
+            "src",
+            "dst",
+            "w",
+            vertex_part(F.col("src"), num_parts).alias("part"),
+            vertex_part(F.col("dst"), num_parts).alias("dst_part"),
+            F.lit("e").alias("kind"),
+        )
     )
     # v rows carry NO nulls: a null in an int64 column turns the whole
     # pandas-side column float64 inside applyInPandas, silently corrupting

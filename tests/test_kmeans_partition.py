@@ -55,3 +55,10 @@ def test_beats_random_on_scale_free(spark):
     )
     xr = edge_crossings(df, random_labels)
     assert x < xr
+
+
+def test_self_loop_singleton_covered(spark):
+    df = to_df(spark, [(1, 2), (5, 5)])
+    labels = kmeans_partition(spark, df, k=2)
+    vids = {r.vid for r in labels.collect()}
+    assert vids == {1, 2, 5}

@@ -67,3 +67,12 @@ def test_checkpoint_resume_equivalence(spark, tmp_path):
     assert set(got) == set(full)
     for v in full:
         assert got[v] == pytest.approx(full[v], abs=1e-12)
+
+
+def test_empty_edges(spark):
+    from goffish_v3_spark.operators.pagerank import pagerank
+
+    empty = spark.createDataFrame([], "src long, dst long, w double")
+    out = pagerank(spark, empty)
+    assert out.count() == 0
+    assert out.columns == ["vid", "rank"]

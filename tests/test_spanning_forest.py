@@ -65,3 +65,13 @@ def test_bridge_flag_partition_invariant_count(spark):
     for p in (2, 8):
         tree, _ = spanning_forest(spark, df, num_parts=p)
         assert tree.count() == expected
+
+
+def test_self_loop_singleton_covered(spark):
+    """Review finding: a vertex whose only edge is a self-loop is a real
+    singleton component and must appear in labels with its own label."""
+    df = to_df(spark, [(1, 2), (5, 5)])
+    tree, labels = spanning_forest(spark, df, num_parts=4)
+    lab = {r.vid: r.label for r in labels.collect()}
+    assert lab == {1: 1, 2: 1, 5: 5}
+    assert tree.count() == 1

@@ -98,3 +98,20 @@ def test_csr_pagerank_hash_range_vids_matches_df(spark):
     assert joined.count() == a.count()
     mx = joined.select(F.max(F.abs(F.col("r1") - F.col("r2"))).alias("d")).collect()[0]["d"]
     assert mx < 1e-9
+
+
+def test_csr_dedups_multi_edges_like_dataframe_pagerank(spark):
+    """Review finding: duplicate edge rows must not double out-degrees or
+    contributions in the CSR path."""
+    import pyspark.sql.functions as F
+
+    from goffish_v3_spark.operators.pagerank import pagerank
+    from goffish_v3_spark.operators.subgraph_pagerank import csr_pagerank
+
+    rows = [(1, 2, 1.0), (1, 2, 1.0), (2, 3, 1.0), (3, 1, 1.0), (1, 3, 1.0)]
+    e = spark.createDataFrame(rows, "src long, dst long, w double")
+    a = pagerank(spark, e, fixed_iterations=4)
+    b = csr_pagerank(spark, e, num_parts=2, max_iter=5, eps=0.0)
+    j = a.withColumnRenamed("rank", "r1").join(b.withColumnRenamed("rank", "r2"), "vid")
+    mx = j.select(F.max(F.abs(F.col("r1") - F.col("r2")))).collect()[0][0]
+    assert mx < 1e-12
