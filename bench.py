@@ -83,10 +83,26 @@ def main() -> None:
     with timed("lpa_cs_4it"):
         lpa(spark, cs, fixed_iterations=4).count()
 
+    with timed("sssp_cs"):
+        from goffish_v3_spark.operators.sssp import sssp
+
+        src0 = cs.agg(F.min("src")).collect()[0][0]
+        sssp(spark, cs, source=src0, weighted=False, directed=False).count()
+
+    with timed("spanning_forest_cs"):
+        from goffish_v3_spark.operators.spanning_forest import spanning_forest
+
+        tree, _ = spanning_forest(spark, cs, num_parts=CPUS)
+        tree.count()
+
     cp = copart_edges(spark, SF_DIR).persist()
     n_cp = cp.count()
     with timed("triangle_count_copart"):
         extra["triangles_copart"] = triangle_count(cp)
+    with timed("kcore3_copart"):
+        from goffish_v3_spark.operators.kcore import k_core
+
+        k_core(spark, cp, k=3).count()
     extra["copart_edges"] = n_cp
     cp.unpersist()
     cs.unpersist()

@@ -46,7 +46,16 @@ def lpa(
     resume: bool = False,
 ) -> DataFrame:
     """Return ``(vid long, label long)`` communities."""
-    und = _symmetrize(edges).persist()
+    # persist the symmetrized adjacency pre-shuffled + pre-sorted on the join
+    # key — every round's state⋈und sort-merge join then skips exchange+sort
+    # on the (large) edge side (same pattern as operators.pagerank)
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    und = (
+        _symmetrize(edges)
+        .repartition(n_shuffle, "src")
+        .sortWithinPartitions("src")
+        .persist()
+    )
     vertices = und.select(F.col("src").alias("vid")).distinct()
     isolated_fallback = None  # vertices always appear in both directions after symmetrize
 
