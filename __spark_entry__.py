@@ -144,6 +144,67 @@ def _sssp_weighted_sql(iters: int = SSSP_WEIGHTED_ITERS) -> str:
     return "WITH " + ",\n".join(ctes) + f"\nSELECT vid, round(dist, 6) AS dist FROM d{iters}"
 
 
+KCORE_ROUNDS = 30
+
+
+def _kcore_hindex_ctes(rounds: int) -> list[str]:
+    """Unrolled synchronous h-index iteration from degrees — converges to
+    the exact core numbers (Montresor et al. 2013); the Spark kernel's
+    partition-local chaotic iteration reaches the same unique fixpoint.
+    19 rounds suffice at sf0.01; ``rounds`` adds margin and the callers
+    append a fixpoint guard so truncation fails loudly, never silently."""
+    ctes = [
+        f"e AS MATERIALIZED ({COPART_EDGES_SQL})",
+        "und AS MATERIALIZED (SELECT src AS a, dst AS b FROM e WHERE src<>dst "
+        "UNION SELECT dst, src FROM e WHERE src<>dst)",
+        "c0 AS MATERIALIZED (SELECT a AS vid, count(*) AS c FROM und GROUP BY a)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT p.vid, least(p.c, x.h) AS c
+  FROM c{i-1} p JOIN (
+    SELECT a AS vid, max(least(rn, nc)) AS h FROM (
+      SELECT u.a, cc.c AS nc,
+             row_number() OVER (PARTITION BY u.a ORDER BY cc.c DESC) AS rn
+      FROM und u JOIN c{i-1} cc ON cc.vid = u.b
+    ) GROUP BY a
+  ) x ON x.vid = p.vid
+)"""
+        )
+    ctes.append(
+        f"fixpoint AS (SELECT count(*) AS n_diff FROM c{rounds} x "
+        f"JOIN c{rounds-1} y ON x.vid = y.vid AND x.c <> y.c)"
+    )
+    return ctes
+
+
+def _core_numbers_sql(rounds: int = KCORE_ROUNDS) -> str:
+    ctes = _kcore_hindex_ctes(rounds)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT vid, CAST(c AS BIGINT) AS core FROM c{rounds}"
+        "\nWHERE (SELECT n_diff FROM fixpoint) = 0"
+    )
+
+
+def _kcore3_sql(rounds: int = KCORE_ROUNDS, k: int = 3) -> str:
+    ctes = _kcore_hindex_ctes(rounds)
+    ctes.append(f"core AS (SELECT vid, c FROM c{rounds})")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT vid, deg FROM (
+  SELECT u.a AS vid, count(*) AS deg FROM und u
+  JOIN core x ON x.vid = u.a AND x.c >= {k}
+  JOIN core y ON y.vid = u.b AND y.c >= {k}
+  GROUP BY u.a
+) WHERE (SELECT n_diff FROM fixpoint) = 0"""
+    )
+
+
 SPANNING_FOREST_STATS_SQL = f"""
 WITH RECURSIVE e AS ({CS_EDGES_SQL}),
 und AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
@@ -385,13 +446,13 @@ def _q_graph_stats_cs(spark: SparkSession, sf: str) -> DataFrame:
 def _q_kcore_copart(spark: SparkSession, sf: str) -> DataFrame:
     from goffish_v3_spark.operators.kcore import k_core
 
-    return k_core(spark, copart_edges(spark, sf), k=3)
+    return k_core(spark, copart_edges(spark, sf), k=3, num_parts=8)
 
 
 def _q_core_numbers_copart(spark: SparkSession, sf: str) -> DataFrame:
     from goffish_v3_spark.operators.kcore import core_numbers
 
-    return core_numbers(spark, copart_edges(spark, sf))
+    return core_numbers(spark, copart_edges(spark, sf), num_parts=8)
 
 
 def _q_sssp_weighted_cs(spark: SparkSession, sf: str) -> DataFrame:
@@ -643,8 +704,8 @@ def oracle_sql() -> dict[str, str]:
         "triangles_per_vertex_copart": TC_VERTEX_SQL,
         "degree_histogram_cs": DEGREE_HIST_SQL,
         "graph_stats_cs": GRAPH_STATS_SQL,
-        # kcore3_copart / core_numbers_copart: iterative peeling — not
-        # ANSI-SQL-expressible; rows-only
+        "kcore3_copart": _kcore3_sql(),
+        "core_numbers_copart": _core_numbers_sql(),
         "vertex_count_cs": VERTEX_COUNT_SQL,
         "spanning_forest_stats_cs": SPANNING_FOREST_STATS_SQL,
         # meta_graph_cs: xxhash64 partition ids have no DuckDB twin; rows-only

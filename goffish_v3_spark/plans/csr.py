@@ -137,6 +137,81 @@ def _build_block(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _build_block_sym(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Assemble one partition's CSR from symmetric edge rows (no 'v' rows:
+    in a symmetrized graph every vertex appears as a src). Multi-edge dedup
+    happens here in numpy — all edges of a src land in its partition, so
+    per-partition dedup is complete."""
+    part = int(pdf["part"].iloc[0])
+    src = pdf["src"].to_numpy(dtype=np.int64)
+    dst = pdf["dst"].to_numpy(dtype=np.int64)
+    dst_part = pdf["dst_part"].to_numpy(dtype=np.int32)
+    w = pdf["w"].to_numpy(dtype=np.float64)
+
+    # sort by (src, dst, w) then keep first of each (src, dst) → min-w dedup
+    order = np.lexsort((w, dst, src))
+    src, dst, dst_part, w = src[order], dst[order], dst_part[order], w[order]
+    keep = np.concatenate(([True], (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])))
+    src, dst, dst_part, w = src[keep], dst[keep], dst_part[keep], w[keep]
+
+    local_vids = np.unique(src)
+    indptr = np.zeros(len(local_vids) + 1, dtype=np.int64)
+    counts = np.bincount(np.searchsorted(local_vids, src), minlength=len(local_vids))
+    indptr[1:] = np.cumsum(counts)
+
+    dst_local = np.full(len(dst), -1, dtype=np.int32)
+    if len(dst) and len(local_vids):
+        pos = np.searchsorted(local_vids, dst)
+        pos_clipped = np.minimum(pos, len(local_vids) - 1)
+        is_local = (dst_part == part) & (local_vids[pos_clipped] == dst)
+        dst_local[is_local] = pos_clipped[is_local].astype(np.int32)
+
+    return pd.DataFrame(
+        {
+            "part": [part],
+            "n_local": [len(local_vids)],
+            "n_edges": [len(dst)],
+            "local_vids": [local_vids.tobytes()],
+            "indptr": [indptr.tobytes()],
+            "edge_dst_vid": [dst.tobytes()],
+            "edge_dst_part": [dst_part.tobytes()],
+            "edge_dst_local": [dst_local.tobytes()],
+            "edge_w": [w.tobytes()],
+        }
+    )
+
+
+def build_csr_blocks_sym(
+    spark: SparkSession, edges: DataFrame, num_parts: int, persist: bool = True
+) -> DataFrame:
+    """Symmetrized-graph CSR in ONE shuffle: edges(src, dst, w) → both
+    directions tagged with the owner partition → groupBy(part) builder kernel
+    (self-loops dropped, multi-edges min-w-deduped numpy-side).
+
+    The general :func:`build_csr_blocks` pays a groupBy(src,dst) dedup
+    exchange plus a distinct vertex scan before the partition shuffle; for
+    undirected algorithms (k-core, WCC-style) this builder collapses all of
+    that into the single partition exchange."""
+    e = edges.select("src", "dst", F.col("w").cast("double").alias("w")).filter(
+        F.col("src") != F.col("dst")
+    )
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    tagged = sym.select(
+        "src",
+        "dst",
+        "w",
+        vertex_part(F.col("src"), num_parts).alias("part"),
+        vertex_part(F.col("dst"), num_parts).alias("dst_part"),
+    )
+    blocks = tagged.groupBy("part").applyInPandas(_build_block_sym, schema=CSR_SCHEMA)
+    if persist:
+        blocks = blocks.persist()
+        blocks.count()
+    return blocks
+
+
 def build_csr_blocks(
     spark: SparkSession, edges: DataFrame, num_parts: int, persist: bool = True
 ) -> DataFrame:
