@@ -141,7 +141,15 @@ def _sssp_weighted_sql(iters: int = SSSP_WEIGHTED_ITERS) -> str:
   ) r ON r.vid = v.vid
 )"""
         )
-    return "WITH " + ",\n".join(ctes) + f"\nSELECT vid, round(dist, 6) AS dist FROM d{iters}"
+    # fixpoint guard (ADVICE): if the unrolled rounds did not converge the
+    # query returns 0 rows and the gate fails loudly instead of silently
+    # comparing truncated distances
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT vid, round(dist, 6) AS dist FROM d{iters}"
+        + f"\nWHERE (SELECT count(*) FROM d{iters} x JOIN d{iters-1} y"
+        + " ON x.vid = y.vid AND x.dist <> y.dist) = 0"
+    )
 
 
 KCORE_ROUNDS = 30
@@ -408,6 +416,17 @@ def _q_sssp_cs(spark: SparkSession, sf: str) -> DataFrame:
     return d.select("vid", "dist")
 
 
+def _q_sssp_csr_cs(spark: SparkSession, sf: str) -> DataFrame:
+    """Subgraph-centric SSSP kernel (P3 local-convergence engine) — same
+    distances as the DataFrame path, checked against the same oracle."""
+    from goffish_v3_spark.operators.sssp import sssp_csr
+
+    e = customer_supplier_edges(spark, sf)
+    source = e.agg(F.min("src")).collect()[0][0]
+    d = sssp_csr(spark, e, source=source, weighted=False, directed=False, num_parts=8)
+    return d.select("vid", "dist")
+
+
 def _q_tc_copart(spark: SparkSession, sf: str) -> DataFrame:
     from goffish_v3_spark.operators.triangles import triangle_count_df
 
@@ -663,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_cs": _q_lpa_cs,
         "sssp_cs": _q_sssp_cs,
         "sssp_weighted_cs": _q_sssp_weighted_cs,
+        "sssp_csr_cs": _q_sssp_csr_cs,
         "triangle_count_copart": _q_tc_copart,
         "triangles_per_vertex_copart": _q_tc_vertex_copart,
         "degree_histogram_cs": _q_degree_hist_cs,
@@ -700,6 +720,7 @@ def oracle_sql() -> dict[str, str]:
         "lpa_cs": _lpa_sql(),
         "sssp_cs": SSSP_SQL,
         "sssp_weighted_cs": _sssp_weighted_sql(),
+        "sssp_csr_cs": SSSP_SQL,
         "triangle_count_copart": TC_SQL,
         "triangles_per_vertex_copart": TC_VERTEX_SQL,
         "degree_histogram_cs": DEGREE_HIST_SQL,

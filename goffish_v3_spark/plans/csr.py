@@ -213,14 +213,24 @@ def build_csr_blocks_sym(
 
 
 def build_csr_blocks(
-    spark: SparkSession, edges: DataFrame, num_parts: int, persist: bool = True
+    spark: SparkSession,
+    edges: DataFrame,
+    num_parts: int,
+    persist: bool = True,
+    part_expr=None,
 ) -> DataFrame:
     """edges(src, dst, w) → one CSR block row per partition (persisted).
 
     Vertices are owned by ``part(vid) = pmod(xxhash64(vid), P)``; a vertex
     with no out-edges still appears in its partition's block (rank sinks,
     matching the reference's sink-less Vertex objects).
+
+    ``part_expr(vid_col) -> Column`` overrides the ownership function —
+    e.g. range partitioning for locality-aware layouts (the analogue of the
+    reference's METIS pre-partitioning, SURVEY §4 P1), which is what makes
+    partition-local computation collapse supersteps on high-diameter graphs.
     """
+    part_of = part_expr or (lambda c: vertex_part(c, num_parts))
     # dedup multi-edges (min weight), matching operators.pagerank's
     # edges.distinct() so the CSR and DataFrame paths agree on out-degrees
     e = (
@@ -230,8 +240,8 @@ def build_csr_blocks(
             "src",
             "dst",
             "w",
-            vertex_part(F.col("src"), num_parts).alias("part"),
-            vertex_part(F.col("dst"), num_parts).alias("dst_part"),
+            part_of(F.col("src")).alias("part"),
+            part_of(F.col("dst")).alias("dst_part"),
             F.lit("e").alias("kind"),
         )
     )
@@ -247,8 +257,8 @@ def build_csr_blocks(
             F.col("vid").alias("src"),
             F.col("vid").alias("dst"),
             F.lit(0.0).alias("w"),
-            vertex_part(F.col("vid"), num_parts).alias("part"),
-            vertex_part(F.col("vid"), num_parts).alias("dst_part"),
+            part_of(F.col("vid")).alias("part"),
+            part_of(F.col("vid")).alias("dst_part"),
             F.lit("v").alias("kind"),
         )
     )
