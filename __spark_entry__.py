@@ -522,13 +522,14 @@ def _q_kmeans_partition_cs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_subgraph_pagerank_cs(spark: SparkSession, sf: str) -> DataFrame:
-    """Block PageRank over partition-local CSR kernels (SubgraphRank.java
-    semantics). Rows-only: the local-convergence inner loop is iteration-
-    order dependent; pytest asserts allclose vs plain PageRank instead."""
+    """Block PageRank over partition-local CSR kernels, fixed-iteration
+    global mode — bit-compatible (at 8dp) with the unrolled SQL oracle. The
+    SubgraphRank local-convergence warm start (local_init=True) is covered
+    by pytest allclose tests; this gate checks the kernel's global phase."""
     from goffish_v3_spark.operators.subgraph_pagerank import csr_pagerank
 
     e = customer_supplier_edges(spark, sf)
-    return csr_pagerank(spark, e, num_parts=8).select(
+    return csr_pagerank(spark, e, num_parts=8, fixed_iterations=PR_ITERS).select(
         "vid", F.round("rank", 8).alias("rank")
     )
 
@@ -730,8 +731,7 @@ def oracle_sql() -> dict[str, str]:
         "vertex_count_cs": VERTEX_COUNT_SQL,
         "spanning_forest_stats_cs": SPANNING_FOREST_STATS_SQL,
         # meta_graph_cs: xxhash64 partition ids have no DuckDB twin; rows-only
-        # subgraph_pagerank_cs: local-convergence inner loop is iteration-order
-        # dependent; pytest asserts allclose vs plain PageRank; rows-only
+        "subgraph_pagerank_cs": _pagerank_sql(),
         # repo_pagerank_top20: input generated in Spark, not a DuckDB view; rows-only
         "doc_tokens": DOC_TOKENS_SQL,
         "doc_quality": DOC_QUALITY_SQL,

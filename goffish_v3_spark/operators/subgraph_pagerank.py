@@ -44,7 +44,42 @@ ALPHA = 0.85
 EPSILON = 1e-3
 
 
-def _make_kernel(superstep: int, alpha: float, base: float):
+def _local_pagerank(blk: CsrBlock, alpha: float, eps: float, max_sweeps: int = 200):
+    """The SubgraphRank warm start (SubgraphRank.java:117-143 ``LPRCompute``):
+    PageRank over the partition-local edge set alone, iterated to the local
+    ε before the first global superstep. Returns ranks summing to ~1 over
+    the local block (caller scales by n_local/N, :54-61)."""
+    n = blk.n_local
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    l_mask = blk.edge_dst_local >= 0
+    seg = np.repeat(np.arange(n, dtype=np.int64), blk.out_degrees)
+    l_seg = seg[l_mask]
+    l_dst = blk.edge_dst_local[l_mask]
+    l_outdeg = np.bincount(l_seg, minlength=n).astype(np.float64)
+    r = np.full(n, 1.0 / n)
+    base_l = (1.0 - alpha) / n
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv_deg = np.where(l_outdeg > 0, 1.0 / np.maximum(l_outdeg, 1.0), 0.0)
+    for _ in range(max_sweeps):
+        contrib = np.zeros(n, dtype=np.float64)
+        per_src = r * inv_deg
+        np.add.at(contrib, l_dst, per_src[l_seg])
+        r_new = alpha * contrib + base_l
+        if np.max(np.abs(r_new - r)) <= eps:
+            return r_new
+        r = r_new
+    return r
+
+
+def _make_kernel(
+    superstep: int,
+    alpha: float,
+    base: float,
+    local_init: bool = False,
+    local_eps: float = 0.05,
+    n_total: int | None = None,
+):
     def kernel(keys, csr_pdf: pd.DataFrame, sm_pdf: pd.DataFrame) -> pd.DataFrame:
         if len(csr_pdf) == 0:
             return pd.DataFrame(
@@ -71,7 +106,14 @@ def _make_kernel(superstep: int, alpha: float, base: float):
         # rank update (skipped on superstep 0: ranks are the 1/N init and the
         # first pass only seeds contributions — PageRank.java:41-75)
         if superstep == 0:
-            new_ranks = ranks
+            if local_init:
+                # SubgraphRank: local PR to ε inside the block, scaled by
+                # |block|/|G| (SubgraphRank.java:54-61,117-143)
+                new_ranks = _local_pagerank(blk, alpha, local_eps) * (
+                    n_local / n_total
+                )
+            else:
+                new_ranks = ranks
             delta = np.inf
         else:
             new_ranks = alpha * pending + base
@@ -142,9 +184,19 @@ def csr_pagerank(
     eps: float = EPSILON,
     max_iter: int = 100,
     blocks: DataFrame | None = None,
+    fixed_iterations: int | None = None,
+    local_init: bool = False,
+    local_eps: float = 0.05,
 ) -> DataFrame:
     """PageRank over CSR blocks; returns ``(vid long, rank double)`` equal to
-    operators.pagerank within float tolerance (same update order)."""
+    operators.pagerank within float tolerance (same update order).
+
+    ``fixed_iterations`` runs exactly that many global rank updates (the
+    SQL-oracle comparison mode). ``local_init`` enables the SubgraphRank
+    warm start: PageRank over each partition's local edges to ``local_eps``
+    convergence before the first global superstep (SubgraphRank.java:117-143)
+    — the superstep-saving inner loop; the global phase still converges to
+    the plain PageRank fixpoint."""
     if num_parts is None:
         num_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     own_blocks = blocks is None
@@ -178,18 +230,37 @@ def csr_pagerank(
     msgs = spark.createDataFrame([], "part int, kind int, vid long, a double, b double")
 
     with no_aqe(spark):
-        state = _csr_loop(blocks, state, msgs, alpha, base, eps, max_iter)
+        state, supersteps = _csr_loop(
+            blocks, state, msgs, alpha, base, eps, max_iter,
+            fixed_iterations=fixed_iterations,
+            local_init=local_init, local_eps=local_eps, n_total=n,
+        )
 
     result = state.select("vid", F.col("a").alias("rank"))
     result = result.localCheckpoint(eager=True)
+    result.pr_supersteps = supersteps  # introspection for tests/bench
     if own_blocks:
         blocks.unpersist()
     return result
 
 
-def _csr_loop(blocks, state, msgs, alpha, base, eps, max_iter):
-    for i in range(max_iter):
-        kernel = _make_kernel(i, alpha, base)
+def subgraph_rank(spark: SparkSession, edges: DataFrame, **kw) -> DataFrame:
+    """SubgraphRank (sample-hama SubgraphRank.java:16-192): block PageRank
+    with the local-convergence warm start; converges to the same scores as
+    plain PageRank in fewer global supersteps."""
+    return csr_pagerank(spark, edges, local_init=True, **kw)
+
+
+def _csr_loop(
+    blocks, state, msgs, alpha, base, eps, max_iter,
+    fixed_iterations=None, local_init=False, local_eps=0.05, n_total=None,
+):
+    total = max_iter if fixed_iterations is None else fixed_iterations + 1
+    i = 0
+    for i in range(total):
+        kernel = _make_kernel(
+            i, alpha, base, local_init=local_init, local_eps=local_eps, n_total=n_total
+        )
         mixed = state.unionByName(msgs)
         out = (
             blocks.groupby("part")
@@ -204,10 +275,11 @@ def _csr_loop(blocks, state, msgs, alpha, base, eps, max_iter):
             .agg(F.sum("a").alias("a"), F.lit(0.0).alias("b"))
             .select("part", "kind", "vid", "a", "b")
         )
-        delta = out.filter(F.col("kind") == 2).agg(F.max("a")).collect()[0][0]
-        if delta is not None and delta <= eps:
-            break
+        if fixed_iterations is None:
+            delta = out.filter(F.col("kind") == 2).agg(F.max("a")).collect()[0][0]
+            if delta is not None and delta <= eps:
+                break
 
-    return state
+    return state, i + 1
 
 

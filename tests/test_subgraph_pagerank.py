@@ -100,6 +100,42 @@ def test_csr_pagerank_hash_range_vids_matches_df(spark):
     assert mx < 1e-9
 
 
+def test_subgraph_rank_converges_to_pagerank_fixpoint(spark):
+    """SubgraphRank's local-PR warm start (SubgraphRank.java:117-143) changes
+    the trajectory, not the fixpoint: ε-converged scores match plain
+    PageRank, in no more global supersteps."""
+    from goffish_v3_spark.operators.subgraph_pagerank import csr_pagerank, subgraph_rank
+    from tests.graphs import barabasi_albert, to_df
+
+    df = to_df(spark, barabasi_albert(200, m=3, seed=9))
+    eps = 1e-5
+    cold = csr_pagerank(spark, df, num_parts=4, eps=eps)
+    warm = subgraph_rank(spark, df, num_parts=4, eps=eps)
+    a = {r.vid: r.rank for r in cold.collect()}
+    b = {r.vid: r.rank for r in warm.collect()}
+    assert set(a) == set(b)
+    for v in a:
+        assert b[v] == pytest.approx(a[v], abs=5 * eps), f"vertex {v}"
+    assert warm.pr_supersteps <= cold.pr_supersteps
+
+
+def test_csr_fixed_iterations_matches_df_fixed(spark):
+    """fixed_iterations mode (the oracle gate's mode) equals the DataFrame
+    engine's fixed-iteration scores."""
+    import pyspark.sql.functions as F
+
+    from goffish_v3_spark.operators.pagerank import pagerank
+
+    edges = graphs.barabasi_albert(120, m=2, seed=3)
+    df = graphs.to_df(spark, edges)
+    a = pagerank(spark, df, fixed_iterations=5)
+    b = csr_pagerank(spark, df, num_parts=4, fixed_iterations=5)
+    j = a.withColumnRenamed("rank", "r1").join(b.withColumnRenamed("rank", "r2"), "vid")
+    assert j.count() == a.count()
+    mx = j.select(F.max(F.abs(F.col("r1") - F.col("r2")))).collect()[0][0]
+    assert mx < 1e-12
+
+
 def test_csr_dedups_multi_edges_like_dataframe_pagerank(spark):
     """Review finding: duplicate edge rows must not double out-degrees or
     contributions in the CSR path."""
