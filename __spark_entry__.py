@@ -242,6 +242,112 @@ FROM v a JOIN v b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.e, b.e) >= 0.45
 """
 
+META_GRAPH_SQL = f"""
+WITH e AS ({CS_EDGES_SQL})
+SELECT DISTINCT CAST(src % 8 AS INT) AS src_part, CAST(dst % 8 AS INT) AS dst_part
+FROM e WHERE src % 8 <> dst % 8
+"""
+
+META_DIAMETER_SQL = f"""
+WITH RECURSIVE e AS ({CS_EDGES_SQL}),
+me AS (SELECT DISTINCT src % 8 AS a, dst % 8 AS b FROM e WHERE src % 8 <> dst % 8),
+und AS (SELECT a, b FROM me UNION SELECT b, a FROM me),
+nodes AS (SELECT DISTINCT a AS v FROM und),
+walk(s, v, d) AS (
+  SELECT v, v, 0 FROM nodes
+  UNION
+  SELECT w.s, u.b, w.d + 1 FROM walk w JOIN und u ON w.v = u.a WHERE w.d < 64
+),
+dist AS (SELECT s, v, min(d) AS d FROM walk GROUP BY s, v)
+SELECT (SELECT count(*) FROM nodes) AS n_meta_nodes,
+       (SELECT count(*) FROM me) AS n_meta_edges,
+       (SELECT max(d) FROM dist) AS diameter
+"""
+
+NGRAM_JACCARD_SQL = r"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(
+             range(1, greatest(len(toks) - 2, 1) + 1),
+             i -> array_to_string(toks[i:i+2], ' ')
+           )
+         ) AS shset
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)
+), inv AS (
+  SELECT doc_id, len(shset) AS sz, unnest(shset) AS shingle FROM sh
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sa, b.sz AS sb,
+         count(*) AS i
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, round(i / greatest(sa + sb - i, 1), 6) AS jaccard
+FROM inter WHERE round(i / greatest(sa + sb - i, 1), 6) >= 0.5
+"""
+
+
+def _repo_pagerank_sql(iters: int = PR_ITERS) -> str:
+    """String-keyed replay of the full flagship pipeline on the committed
+    repos artifact: regexp reference extraction per language + #dep lines →
+    resolution against the file dimension → distinct directed edges →
+    unrolled PageRank → top 20 by (rank desc, repo, path)."""
+    ext_case = (
+        "CASE WHEN f.lang = 'python' THEN 'py' "
+        "WHEN f.lang = 'java' THEN 'java' ELSE 'h' END"
+    )
+    pat_case = (
+        r"CASE WHEN f.lang = 'python' THEN 'from pkg_\d+\.mod_(\d+) import' "
+        r"WHEN f.lang = 'java' THEN 'import org\.pkg_\d+\.mod_(\d+);' "
+        r"""ELSE '#include "pkg_\d+/mod_(\d+)\.h"' END"""
+    )
+    ctes = [
+        f"repos AS MATERIALIZED (SELECT * FROM read_parquet('{REPO_ARTIFACT}/*.parquet'))",
+        "files AS MATERIALIZED (SELECT repo, path, lang, content, "
+        "repo || chr(0) || path AS key FROM repos)",
+        f"""imp AS (
+  SELECT f.repo AS src_repo, f.path AS src_path, f.repo AS dst_repo,
+         printf('src/pkg_%d/mod_%d.%s', CAST(t AS BIGINT) % 4, CAST(t AS BIGINT), {ext_case}) AS dst_path
+  FROM files f, unnest(regexp_extract_all(f.content, {pat_case}, 1)) AS u(t)
+)""",
+        r"""dep AS (
+  SELECT f.repo AS src_repo, f.path AS src_path,
+         split_part(r, ' ', 1) AS dst_repo, split_part(r, ' ', 2) AS dst_path
+  FROM files f, unnest(regexp_extract_all(f.content, '#dep (\S+ \S+)', 1)) AS u(r)
+)""",
+        """edges0 AS MATERIALIZED (
+  SELECT DISTINCT src_repo || chr(0) || src_path AS src,
+                  dst_repo || chr(0) || dst_path AS dst
+  FROM (SELECT * FROM imp UNION ALL SELECT * FROM dep)
+  WHERE src_repo || chr(0) || src_path <> dst_repo || chr(0) || dst_path
+    AND dst_repo || chr(0) || dst_path IN (SELECT key FROM files)
+)""",
+        "verts AS MATERIALIZED (SELECT src AS vid FROM edges0 UNION SELECT dst FROM edges0)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts)",
+        "deg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges0 GROUP BY src)",
+        "pr0 AS MATERIALIZED (SELECT vid, 1.0/(SELECT n FROM nn) AS rank FROM verts)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""pr{i} AS MATERIALIZED (
+  SELECT v.vid, 0.85 * coalesce(s.s, 0.0) + 0.15/(SELECT n FROM nn) AS rank
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS vid, sum(p.rank/d.deg) AS s
+    FROM pr{i-1} p JOIN edges0 e ON p.vid = e.src JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) s ON v.vid = s.vid
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT f.repo, f.path, round(p.rank, 8) AS rank
+FROM pr{iters} p JOIN files f ON f.key = p.vid
+ORDER BY p.rank DESC, f.repo, f.path LIMIT 20"""
+    )
+
+
 TC_SQL = f"""
 WITH e AS ({COPART_EDGES_SQL})
 SELECT count(*) AS triangles
@@ -490,12 +596,27 @@ def _q_vertex_count_cs(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame([(n,)], "n_vertices long")
 
 
+def _mod8(c):
+    return F.pmod(c, F.lit(8)).cast("int")
+
+
 def _q_meta_graph_cs(spark: SparkSession, sf: str) -> DataFrame:
-    """Partition communication topology (MetaGraph.java:30-46). Rows-only:
-    partition ids come from xxhash64, which has no DuckDB twin."""
+    """Partition communication topology (MetaGraph.java:30-46) under the
+    deterministic mod-8 partitioner (the default xxhash64 ownership has no
+    DuckDB twin; the operator is identical either way)."""
     from goffish_v3_spark.operators.stats import meta_graph
 
-    return meta_graph(customer_supplier_edges(spark, sf), num_parts=8)
+    return meta_graph(customer_supplier_edges(spark, sf), num_parts=8, part_expr=_mod8)
+
+
+def _q_meta_diameter_cs(spark: SparkSession, sf: str) -> DataFrame:
+    """Meta-graph diameter flood (GraphStats.java:118-210) under mod-8
+    partitioning."""
+    from goffish_v3_spark.operators.stats import meta_diameter
+
+    return meta_diameter(
+        spark, customer_supplier_edges(spark, sf), num_parts=8, part_expr=_mod8
+    )
 
 
 def _q_spanning_forest_stats_cs(spark: SparkSession, sf: str) -> DataFrame:
@@ -534,18 +655,26 @@ def _q_subgraph_pagerank_cs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+REPO_ARTIFACT = "/root/repo/.artifacts/repos_oracle_parquet"
+
+
 def _q_repo_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """Flagship (north_rule): synthetic repos → ingest → PageRank → top files.
 
-    Rows-only check: the repos table is generated in Spark, not a DuckDB view.
-    """
+    The generated repos table is also written to ``REPO_ARTIFACT`` (a
+    committed, deterministic parquet) so the DuckDB oracle can replay the
+    whole derivation — regexp edge extraction, resolution semi-join, unrolled
+    PageRank — on the identical input, string-keyed (vids never surface in
+    the output, so the xxhash64 id assignment needs no SQL twin)."""
     from goffish_v3_spark.operators.pagerank import pagerank
     from goffish_v3_spark.sources.ingest import ingest
     from goffish_v3_spark.sources.synthetic import generate_repos
 
     repos = generate_repos(spark, n_repos=5, files_per_repo=40, seed=42)
+    repos.coalesce(1).write.mode("overwrite").parquet(REPO_ARTIFACT)
+    repos = spark.read.parquet(REPO_ARTIFACT)
     graph = ingest(repos)
-    pr = pagerank(spark, graph.edges)
+    pr = pagerank(spark, graph.edges, fixed_iterations=PR_ITERS)
     return (
         pr.join(graph.vertices, pr.vid == graph.vertices.vid)
         .select("repo", "path", F.round("rank", 8).alias("rank"))
@@ -636,13 +765,13 @@ def _q_simhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact n-gram Jaccard over the MinHash candidate pairs (rows-only:
-    shingles are xxhash64-keyed)."""
-    from goffish_v3_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+    """Exact n-gram Jaccard ≥ 0.5 via the inverted-index (shared-shingle)
+    similarity join — candidate pairs come from the index, never a cross
+    product, and the result is exact (oracle-checked)."""
+    from goffish_v3_spark.operators.dedup import jaccard_similarity_join
 
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    cands = minhash_lsh_pairs(docs, jaccard_threshold=0.0).select("id_a", "id_b")
-    return ngram_jaccard_pairs(docs, cands)
+    return jaccard_similarity_join(docs, threshold=0.5)
 
 
 def _q_media_features(spark: SparkSession, sf: str) -> DataFrame:
@@ -692,6 +821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "core_numbers_copart": _q_core_numbers_copart,
         "vertex_count_cs": _q_vertex_count_cs,
         "meta_graph_cs": _q_meta_graph_cs,
+        "meta_diameter_cs": _q_meta_diameter_cs,
         "spanning_forest_stats_cs": _q_spanning_forest_stats_cs,
         "subgraph_pagerank_cs": _q_subgraph_pagerank_cs,
         "kmeans_partition_cs": _q_kmeans_partition_cs,
@@ -730,15 +860,17 @@ def oracle_sql() -> dict[str, str]:
         "core_numbers_copart": _core_numbers_sql(),
         "vertex_count_cs": VERTEX_COUNT_SQL,
         "spanning_forest_stats_cs": SPANNING_FOREST_STATS_SQL,
-        # meta_graph_cs: xxhash64 partition ids have no DuckDB twin; rows-only
+        "meta_graph_cs": META_GRAPH_SQL,
+        "meta_diameter_cs": META_DIAMETER_SQL,
         "subgraph_pagerank_cs": _pagerank_sql(),
-        # repo_pagerank_top20: input generated in Spark, not a DuckDB view; rows-only
+        "repo_pagerank_top20": _repo_pagerank_sql(),
         "doc_tokens": DOC_TOKENS_SQL,
         "doc_quality": DOC_QUALITY_SQL,
         "lang_id": LANG_ID_SQL,
         "dedup_exact_groups": DEDUP_EXACT_SQL,
-        # minhash_lsh_pairs / doc_fingerprint / ngram_jaccard_pairs /
-        # simhash_near_dups: xxhash64- or run-seeded-hash-based; rows-only
+        "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
+        # minhash_lsh_pairs / doc_fingerprint / simhash_near_dups:
+        # xxhash64-based (no DuckDB twin); rows-only
         "ann_cosine_top3": ANN_TOPK_SQL,
         # lsh_ann_top3: approximate by design; recall vs exact asserted in pytest
         "embedding_near_dups": EMB_NEAR_DUP_SQL,

@@ -172,6 +172,75 @@ def minhash_lsh_pairs(
     )
 
 
+def string_shingles(text_col: str, shingle: int = 3) -> "F.Column":
+    """Word ``shingle``-grams as strings (no hashing — DuckDB-expressible,
+    used by the exact similarity join; the MinHash path hashes them)."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(n - shingle, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, shingle)),
+    )
+
+
+def jaccard_similarity_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram-Jaccard pairs ``(id_a, id_b, jaccard)`` with id_a < id_b
+    via an inverted-index (shared-shingle) join — no all-pairs product:
+    candidate pairs are generated only for documents sharing ≥1 shingle, and
+    the shared-shingle count *is* the intersection size, so one groupBy
+    yields the exact Jaccard (|A∩B| / (|A|+|B|−|A∩B|)).
+
+    ``max_df`` drops shingles appearing in more than that many documents
+    (stop-shingles) — the scale guard against a single common shingle going
+    quadratic; omitting it keeps the join exact."""
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(string_shingles(text_col, shingle)).alias("shset"),
+    ).select("_id", F.size("shset").alias("sz"), F.explode("shset").alias("shingle"))
+    if max_df is not None:
+        ok = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(ok, "shingle", "left_semi")
+    a = sh.alias("a")
+    b = sh.select(
+        F.col("_id").alias("_id_b"), F.col("sz").alias("sz_b"), "shingle"
+    ).alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a._id") < F.col("_id_b"))
+        .groupBy(
+            F.col("a._id").alias("id_a"),
+            F.col("_id_b").alias("id_b"),
+            F.col("a.sz").alias("sa"),
+            F.col("sz_b").alias("sb"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / F.greatest(F.col("sa") + F.col("sb") - F.col("inter"), F.lit(1)),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     pairs: DataFrame,

@@ -70,15 +70,70 @@ def graph_stats(spark: SparkSession, edges: DataFrame, num_parts: int = 32) -> d
     }
 
 
-def meta_graph(edges: DataFrame, num_parts: int) -> DataFrame:
+def meta_graph(edges: DataFrame, num_parts: int, part_expr=None) -> DataFrame:
     """MetaGraph.java:30 — distinct (src_part, dst_part) pairs: the
     communication topology between partitions (reference: between
-    subgraphs)."""
+    subgraphs). ``part_expr(vid_col) -> Column`` overrides the xxhash64
+    ownership function (e.g. ``pmod(vid, P)`` for an oracle-comparable
+    deterministic layout)."""
+    part_of = part_expr or (lambda c: vertex_part(c, num_parts))
     return (
         edges.select(
-            vertex_part(F.col("src"), num_parts).alias("src_part"),
-            vertex_part(F.col("dst"), num_parts).alias("dst_part"),
+            part_of(F.col("src")).alias("src_part"),
+            part_of(F.col("dst")).alias("dst_part"),
         )
         .filter(F.col("src_part") != F.col("dst_part"))
         .distinct()
+    )
+
+
+def meta_diameter(
+    spark: SparkSession,
+    edges: DataFrame,
+    num_parts: int,
+    part_expr=None,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """GraphStats.java:118-210 — the meta-graph diameter probe/reply flood,
+    as iterated all-pairs min-plus over the (tiny: ≤ num_parts nodes) meta
+    edge table. Returns one row
+    ``(n_meta_nodes long, n_meta_edges long, diameter long)``; unreachable
+    pairs are excluded, matching the reference's reply-only flood."""
+    me = meta_graph(edges, num_parts, part_expr=part_expr).persist()
+    n_meta_edges = me.count()
+    und = (
+        me.select(F.col("src_part").alias("a"), F.col("dst_part").alias("b"))
+        .unionByName(me.select(F.col("dst_part").alias("a"), F.col("src_part").alias("b")))
+        .distinct()
+        .persist()
+    )
+    nodes = und.select(F.col("a").alias("v")).distinct()
+    n_nodes = nodes.count()
+
+    dist = (
+        nodes.select(F.col("v").alias("s"), F.col("v").alias("v"), F.lit(0).alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    n_pairs = dist.count()
+    for _ in range(max_rounds):
+        grown = (
+            dist.join(und, dist.v == und.a)
+            .select("s", F.col("b").alias("v"), (F.col("d") + 1).alias("d"))
+            .unionByName(dist)
+            .groupBy("s", "v")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+        n_new = grown.count()
+        dist = grown
+        if n_new == n_pairs:
+            break
+        n_pairs = n_new
+
+    diam = dist.agg(F.max("d")).collect()[0][0] or 0
+    me.unpersist()
+    und.unpersist()
+    return spark.createDataFrame(
+        [(n_nodes, n_meta_edges, diam)],
+        "n_meta_nodes long, n_meta_edges long, diameter long",
     )

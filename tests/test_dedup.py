@@ -76,3 +76,49 @@ def test_embedding_near_duplicates(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     got = {(r.id_a, r.id_b) for r in embedding_near_duplicates(df, 0.95).collect()}
     assert got == {(1, 2)}
+
+
+def test_jaccard_similarity_join_exact(spark):
+    """Inverted-index join reproduces brute-force n-gram Jaccard exactly."""
+    from itertools import combinations
+
+    from goffish_v3_spark.operators.dedup import jaccard_similarity_join
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the quick brown fox jumps over the lazy cat",
+        3: "a completely different sentence with other words here",
+        4: "the quick brown fox jumps over the lazy dog",
+        5: "quick brown fox jumps over the lazy dog today",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_similarity_join(df, threshold=0.3).collect()
+    }
+
+    def shingles(t):
+        w = t.split()
+        return set(" ".join(w[i : i + 3]) for i in range(max(len(w) - 2, 1)))
+
+    want = {}
+    for a, b in combinations(sorted(texts), 2):
+        sa, sb = shingles(texts[a]), shingles(texts[b])
+        j = round(len(sa & sb) / max(len(sa | sb), 1), 6)
+        if j >= 0.3:
+            want[(a, b)] = j
+    assert got == want
+
+
+def test_jaccard_join_max_df_drops_stop_shingles(spark):
+    """The scale guard: a shingle shared by every doc is excluded from
+    candidate generation when max_df is set."""
+    from goffish_v3_spark.operators.dedup import jaccard_similarity_join
+
+    common = "alpha beta gamma"
+    rows = [(i, f"{common} unique{i} token{i} word{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # every pair shares only the shingles containing the common prefix;
+    # with max_df=5 those shingles are stop-listed -> no candidates at all
+    assert jaccard_similarity_join(df, threshold=0.01, max_df=5).count() == 0
+    assert jaccard_similarity_join(df, threshold=0.01).count() > 0

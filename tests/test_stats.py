@@ -37,3 +37,37 @@ def test_meta_graph_nonempty(spark):
     rows = mg.collect()
     assert len(rows) > 0
     assert all(r.src_part != r.dst_part for r in rows)
+
+
+def test_meta_diameter_chain_of_partitions(spark):
+    """Chain 0-1-2-...-11 with part = vid % 4 gives a meta graph where every
+    partition talks to its cyclic neighbours; known tiny diameter."""
+    from pyspark.sql import functions as F
+
+    from goffish_v3_spark.operators.stats import meta_diameter
+
+    df = graphs.to_df(spark, graphs.chain(12))
+    row = meta_diameter(
+        spark, df, num_parts=4, part_expr=lambda c: F.pmod(c, F.lit(4)).cast("int")
+    ).collect()[0]
+    # parts 0..3, edges (0,1),(1,2),(2,3),(3,0): a 4-cycle -> diameter 2
+    assert row.n_meta_nodes == 4
+    assert row.diameter == 2
+
+
+def test_meta_diameter_two_components(spark):
+    """Unreachable partition pairs are excluded, matching the reference's
+    reply-only flood (GraphStats.java:118-210)."""
+    from pyspark.sql import functions as F
+
+    from goffish_v3_spark.operators.stats import meta_diameter
+
+    # two disjoint 2-partition islands: {0,1} x part0/1, {10,11} x part2/3
+    edges = [(0, 1, 1.0), (10, 11, 1.0)]
+    df = spark.createDataFrame(edges, "src long, dst long, w double")
+    part = lambda c: F.when(c < 10, F.pmod(c, F.lit(2))).otherwise(
+        2 + F.pmod(c, F.lit(2))
+    ).cast("int")
+    row = meta_diameter(spark, df, num_parts=4, part_expr=part).collect()[0]
+    assert row.n_meta_nodes == 4
+    assert row.diameter == 1
