@@ -239,7 +239,7 @@ WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.e, b.e), 6) AS sim
 FROM v a JOIN v b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.e, b.e) >= 0.45
+WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.45
 """
 
 META_GRAPH_SQL = f"""

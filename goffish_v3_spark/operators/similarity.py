@@ -139,14 +139,54 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    small_n: int = 4096,
+    n_planes: int = 8,
+    n_tables: int = 6,
+    seed: int = 42,
 ) -> DataFrame:
-    """All pairs with cosine ≥ threshold, id_a < id_b (embedding-space
-    near-dup detection for dedup pipelines)."""
+    """Pairs with cosine ≥ threshold, id_a < id_b (embedding-space near-dup
+    detection for dedup pipelines).
+
+    Plan selection by corpus size (one count):
+    - n ≤ ``small_n``: exact all-pairs comparison — complete, and cheap at
+      this size.
+    - n > ``small_n``: random-hyperplane LSH candidate generation over
+      ``n_tables`` independent tables (equi-join on the bucket id — never a
+      cross product) + exact cosine rescoring within candidates. Recall is
+      probabilistic: a qualifying pair is missed only if it splits in every
+      table (P ≈ (1−(1−θ/π)^planes)^tables for angle θ); raise n_tables /
+      lower n_planes to trade cost for recall."""
     a = df.select(F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb"))
+    n = a.count()
+    if n <= small_n:
+        b = df.select(
+            F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb")
+        )
+        return (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim")
+            )
+            .filter(F.col("sim") >= threshold)
+        )
+
+    dim = len(df.select(vec_col).first()[0])
+    cands = None
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        ab = a.withColumn("bucket", lsh_bucket(F.col("va"), planes))
+        bb = ab.select(
+            F.col("id_a").alias("id_b"), F.col("va").alias("vb"), "bucket"
+        )
+        pair = (
+            ab.join(bb, "bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "va", "id_b", "vb")
+        )
+        cands = pair if cands is None else cands.unionByName(pair)
+    cands = cands.dropDuplicates(["id_a", "id_b"])
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
+        cands.select(
             "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim")
         )
         .filter(F.col("sim") >= threshold)

@@ -56,3 +56,59 @@ def test_lsh_topk_high_recall(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_embedding_near_dups_lsh_path_no_cross_product(spark):
+    """Above the small-n guard the operator must never plan a cross/nested-
+    loop product; planted identical vectors are still found (same bucket in
+    every table)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from goffish_v3_spark.operators.similarity import embedding_near_duplicates
+
+    rng = np.random.default_rng(17)
+    n, dim = 10_000, 16
+    vecs = rng.standard_normal((n, dim)).astype("float32")
+    vecs[5001] = vecs[1]  # planted exact dup
+    vecs[7007] = vecs[42]
+    pdf = pd.DataFrame({"vec_id": range(n), "embedding": list(map(list, vecs))})
+    df = spark.createDataFrame(pdf)
+
+    out = embedding_near_duplicates(
+        df, threshold=0.99, small_n=1000, n_planes=10, n_tables=4
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (1, 5001) in pairs
+    assert (42, 7007) in pairs
+
+
+def test_embedding_near_dups_small_n_exact_unchanged(spark):
+    """Below the guard the exact all-pairs result is identical to before."""
+    import numpy as np
+    import pandas as pd
+
+    from goffish_v3_spark.operators.similarity import embedding_near_duplicates
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((60, 8)).astype("float32")
+    vecs[10] = vecs[3] + 0.01 * rng.standard_normal(8).astype("float32")
+    pdf = pd.DataFrame({"vec_id": range(60), "embedding": list(map(list, vecs))})
+    df = spark.createDataFrame(pdf)
+    got = {
+        (r.id_a, r.id_b): r.sim
+        for r in embedding_near_duplicates(df, threshold=0.9).collect()
+    }
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    want = {
+        (i, j): round(float(np.dot(vecs[i].astype("f8"), vecs[j].astype("f8"))
+                 / (np.linalg.norm(vecs[i].astype("f8")) * np.linalg.norm(vecs[j].astype("f8")))), 6)
+        for i in range(60) for j in range(i + 1, 60) if sims[i, j] >= 0.9
+    }
+    want = {k: v for k, v in want.items() if v >= 0.9}
+    assert got == want
