@@ -120,6 +120,14 @@ def main() -> None:
     extra["repo_edges_traversed_per_sec"] = round(
         PR_BENCH_ITERS * n_repo_edges / timings["repo_pagerank_10it"], 1
     )
+    # explicit hub salting (north_rule): same query through the two-stage
+    # salted contribution aggregation — the repo graph's repo-0 hub is the
+    # "stdlib imported by everyone" skew case
+    with timed("repo_pagerank_10it_salted"):
+        scores, _ = pagerank_with_info(
+            spark, g_edges, fixed_iterations=PR_BENCH_ITERS, salt_threshold=1000
+        )
+        scores.count()
     g_edges.unpersist()
 
     # ---- training-data pipeline suite ------------------------------------

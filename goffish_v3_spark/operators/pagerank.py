@@ -46,11 +46,22 @@ def pagerank_with_info(
     resume: bool = False,
     checkpoint_every: int = 5,
     chain_every: int = 5,
+    salt_threshold: int | None = None,
+    num_salts: int = 32,
 ) -> tuple[DataFrame, RunInfo]:
     """Run PageRank; return (scores ``(vid, rank)``, RunInfo).
 
     ``fixed_iterations`` disables the ε-gate and runs exactly that many rank
     updates (used by SQL-oracle comparisons, which unroll a fixed count).
+
+    ``salt_threshold`` enables explicit hub salting (north_rule, SURVEY §4
+    P13): destinations whose in-degree exceeds the threshold are found once
+    up front (plans.partitioner.heavy_keys) and their contribution sums go
+    through the two-stage salted aggregation — per-reducer fan-in for a hub
+    is bounded by ``num_salts`` × mappers regardless of its in-degree. Cold
+    keys keep the plain one-stage path. Results are identical either way
+    (sums reassociate); composes with AQE skew splitting, which handles
+    moderate skew without being asked.
     """
     e = edges.select("src", "dst").distinct().persist()
     vertices = (
@@ -97,18 +108,59 @@ def pagerank_with_info(
     else:
         init_src = vertices
 
+    # hub pre-pass for explicit salting: one aggregation scan finds the hot
+    # destinations, then the adjacency is split ONCE into persisted hot/cold
+    # slices (both pre-shuffled+sorted on src like adj) — the per-superstep
+    # plan pays no hot-key filtering, only the extra (tiny) hot aggregation
+    adj_hot = adj_cold = None
+    if salt_threshold is not None:
+        from goffish_v3_spark.plans.partitioner import heavy_keys
+
+        hot = F.broadcast(heavy_keys(e, "dst", salt_threshold))
+        adj_hot = (
+            adj.join(hot, "dst", "left_semi")
+            .repartition(n_shuffle, "src")
+            .sortWithinPartitions("src")
+            .persist()
+        )
+        adj_cold = (
+            adj.join(hot, "dst", "left_anti")
+            .repartition(n_shuffle, "src")
+            .sortWithinPartitions("src")
+            .persist()
+        )
+        adj_hot.count()
+        adj_cold.count()
+
     # sever the (possibly expensive) upstream plan from the iterative loop
     init = init_src.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
     e.unpersist()
     base = (1.0 - alpha) / n
 
     def step(state: DataFrame, i: int) -> StepResult:
-        contrib = (
-            state.join(adj, state.vid == adj.src)
-            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
-        )
+        if adj_hot is None:
+            contrib = (
+                state.join(adj, state.vid == adj.src)
+                .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("s"))
+            )
+        else:
+            from goffish_v3_spark.plans.partitioner import salted_agg_sum
+
+            cold = (
+                state.join(adj_cold, state.vid == adj_cold.src)
+                .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("s"))
+            )
+            hot_rows = state.join(adj_hot, state.vid == adj_hot.src).select(
+                "src", "dst", (F.col("rank") / F.col("deg")).alias("c")
+            )
+            salted = salted_agg_sum(
+                hot_rows, "dst", "c", "s", num_salts=num_salts, salt_from="src"
+            )
+            contrib = cold.unionByName(salted)
         if fixed_iterations is not None:
             new_state = vdim.join(contrib, vdim.vid == contrib.dst, "left").select(
                 "vid",
@@ -120,8 +172,12 @@ def pagerank_with_info(
             # so the lazy plan grows linearly, and the per-superstep serial
             # cost (driver round-trip + checkpoint pass — measured ~7 s/step
             # at 55M edges regardless of cores) is paid once per chain
-            # instead of once per superstep
-            if done or (i + 1) % chain_every == 0:
+            # instead of once per superstep.
+            # Salted steps reference state TWICE (hot+cold branches) — the
+            # plan would double per chained step (Catalyst analysis goes
+            # exponential), so they materialize every superstep.
+            eff_chain = 1 if adj_hot is not None else chain_every
+            if done or (i + 1) % eff_chain == 0:
                 new_state = new_state.localCheckpoint(eager=True)
             return StepResult(new_state, done, truncated=True)
         new_state = state.join(contrib, state.vid == contrib.dst, "left").select(
@@ -151,6 +207,9 @@ def pagerank_with_info(
     )
     info = loop.run(init, step, resume=resume)
     adj.unpersist()
+    if adj_hot is not None:
+        adj_hot.unpersist()
+        adj_cold.unpersist()
     if vdim is not None:
         vdim.unpersist()
     return info.state, info

@@ -83,7 +83,8 @@ def heavy_keys(df: DataFrame, key: str, threshold: int) -> DataFrame:
 
 
 def salted_agg_sum(
-    df: DataFrame, key: str, value: str, out: str, num_salts: int = 32
+    df: DataFrame, key: str, value: str, out: str, num_salts: int = 32,
+    salt_from: str | None = None,
 ) -> DataFrame:
     """Two-stage sum: groupBy(key, salt) partial → groupBy(key) final.
 
@@ -91,8 +92,14 @@ def salted_agg_sum(
     form guarantees bounded per-reducer fan-in for pathological hubs (one key
     = billions of rows) independent of mapper count, per north_rule's
     explicit-salting requirement.
+
+    ``salt_from`` names a column to derive the salt from (deterministic,
+    e.g. the contributing src vertex); default is a per-row synthetic id.
     """
-    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(num_salts))
+    salt_src = (
+        F.col(salt_from) if salt_from is not None else F.monotonically_increasing_id()
+    )
+    salt = F.pmod(F.xxhash64(salt_src), F.lit(num_salts))
     partial = (
         df.withColumn("_salt", salt)
         .groupBy(key, "_salt")
