@@ -756,8 +756,8 @@ def _q_emb_near_dups(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_simhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
-    """Rows-only: simhash uses Python's run-seeded string hash; exact-dup
-    groups in documents guarantee hamming-0 pairs regardless of seed."""
+    """Rows-only: simhash is xxhash64-based (deterministic across runs) but
+    xxhash64 has no DuckDB twin."""
     from goffish_v3_spark.operators.dedup import simhash_near_duplicates
 
     docs = spark.read.parquet(f"{sf}/documents.parquet")

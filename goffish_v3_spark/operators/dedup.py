@@ -99,19 +99,45 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle: int = 3,
     jaccard_threshold: float = 0.7,
+    max_bucket_width: int | None = 10_000,
+    expand_identical: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs ``(id_a, id_b, jaccard)`` with id_a < id_b.
 
-    Pipeline: signature → band buckets (groupBy shuffle) → within-bucket
-    candidate pairs → exact shingle-set Jaccard verification ≥ threshold.
+    Pipeline: collapse exact-duplicate groups (sha256) to one representative
+    → signature → band buckets (groupBy shuffle) → within-bucket candidate
+    pairs → exact shingle-set Jaccard verification ≥ threshold → re-expand
+    group members.
+
+    Scale guards:
+    - exact-dup collapse bounds banding cost by the number of *distinct*
+      texts — a corpus with million-row identical groups (the degenerate
+      case that makes every band bucket quadratic) bands each group once;
+    - ``max_bucket_width`` drops band buckets wider than the cap (post-
+      collapse, a bucket that wide means a pathological band — the pairs it
+      would contribute are overwhelmingly covered by the other bands; set
+      None to disable);
+    - ``expand_identical=False`` keeps output linear in group sizes: members
+      link to their representative as ``(rep, member, 1.0)`` star pairs
+      instead of the full quadratic within-group expansion.
     """
+    keyed = df.select(
+        F.col(id_col).alias("_id"), F.sha2(F.col(text_col), 256).alias("_sha")
+    )
+    groups = keyed.groupBy("_sha").agg(F.min("_id").alias("_rep"))
+    members = keyed.join(groups, "_sha").select("_id", "_rep").persist()
+    reps = (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+        .join(members.filter(F.col("_id") == F.col("_rep")).select("_id"), "_id", "left_semi")
+    )
+
     rows_per_band = num_hashes // bands
     # materialize shingle hashes ONCE behind a lineage barrier — otherwise
     # Catalyst's CollapseProject inlines the shingle subtree into each of the
     # num_hashes permutation expressions (num_hashes× recompute of the
     # tokenize/concat/xxhash work per row)
-    sh_df = df.select(
-        F.col(id_col).alias("_id"), shingle_hashes(text_col, shingle).alias("sh")
+    sh_df = reps.select(
+        "_id", shingle_hashes("_text", shingle).alias("sh")
     ).localCheckpoint(eager=True)
     reduced = F.transform(F.col("sh"), lambda h: F.pmod(h, F.lit(_MASK)))
     sig = sh_df.select(
@@ -142,6 +168,15 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("_id", "shset", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
+    if max_bucket_width is not None:
+        ok_buckets = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count("*").alias("_bw"))
+            .filter(F.col("_bw") <= max_bucket_width)
+            .select("band", "bucket")
+        )
+        banded = banded.join(ok_buckets, ["band", "bucket"], "left_semi")
+
     a = banded.alias("a")
     b = banded.select(
         F.col("_id").alias("_id_b"),
@@ -165,11 +200,54 @@ def minhash_lsh_pairs(
         / F.greatest(F.size(F.array_union("sa", "sb")), F.lit(1)),
         6,
     )
-    return (
+    rep_pairs = (
         cand.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+    # re-expand exact-dup groups (identical texts ⇒ jaccard 1.0 within a
+    # group, and every member inherits its representative's cross-pairs)
+    ma = members.select(F.col("_rep").alias("id_a"), F.col("_id").alias("ma"))
+    mb = members.select(F.col("_rep").alias("id_b"), F.col("_id").alias("mb"))
+    if expand_identical:
+        cross = (
+            rep_pairs.join(ma, "id_a")
+            .join(mb, "id_b")
+            .select(
+                F.least("ma", "mb").alias("id_a"),
+                F.greatest("ma", "mb").alias("id_b"),
+                "jaccard",
+            )
+        )
+        intra = (
+            ma.join(
+                members.select(F.col("_rep").alias("id_a"), F.col("_id").alias("mb")),
+                "id_a",
+            )
+            .filter(F.col("ma") < F.col("mb"))
+            .select(
+                F.col("ma").alias("id_a"),
+                F.col("mb").alias("id_b"),
+                F.lit(1.0).alias("jaccard"),
+            )
+            .filter(F.lit(1.0) >= jaccard_threshold)
+        )
+        out = cross.unionByName(intra)
+    else:
+        stars = (
+            members.filter(F.col("_id") != F.col("_rep"))
+            .select(
+                F.col("_rep").alias("id_a"),
+                F.col("_id").alias("id_b"),
+                F.lit(1.0).alias("jaccard"),
+            )
+            .filter(F.lit(1.0) >= jaccard_threshold)
+        )
+        out = rep_pairs.unionByName(stars)
+    out = out.localCheckpoint(eager=True)
+    members.unpersist()
+    return out
 
 
 def string_shingles(text_col: str, shingle: int = 3) -> "F.Column":
@@ -270,35 +348,43 @@ def ngram_jaccard_pairs(
 
 
 @F.pandas_udf(T.LongType())
-def _simhash64(texts: pd.Series) -> pd.Series:
-    """64-bit simhash per text — vectorized numpy bit bucketing per Arrow batch."""
-    out = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        words = (t or "").split()
-        if not words:
-            continue
-        hs = np.array(
-            [np.int64(np.uint64(hash(w) & 0xFFFFFFFFFFFFFFFF)) for w in words],
-            dtype=np.int64,
-        ).view(np.uint64)
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
-        acc = (2 * bits - 1).sum(axis=0)
-        sim = np.uint64(0)
-        for b in np.nonzero(acc > 0)[0]:
-            sim |= np.uint64(1) << np.uint64(b)
-        out[i] = np.int64(sim)
-    return pd.Series(out)
+def _simhash_from_hashes(tok_hashes: pd.Series) -> pd.Series:
+    """64-bit simhash from per-token xxhash64 values — whole-batch numpy:
+    flatten the ragged token-hash arrays, one (tokens × 64) bit matrix,
+    segment-accumulate ±1 votes per (row, bit), repack sign bits. No per-row
+    Python loop; the token hashing itself happened JVM-side."""
+    n = len(tok_hashes)
+    if n == 0:
+        return pd.Series(np.empty(0, dtype=np.int64))
+    lens = np.fromiter((len(x) for x in tok_hashes), dtype=np.int64, count=n)
+    total = int(lens.sum())
+    if total == 0:
+        return pd.Series(np.zeros(n, dtype=np.int64))
+    flat = np.concatenate(
+        [np.asarray(x, dtype=np.int64) for x in tok_hashes if len(x)]
+    ).view(np.uint64)
+    seg = np.repeat(np.arange(n, dtype=np.int64), lens)
+    bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+        np.int32
+    )
+    acc = np.zeros((n, 64), dtype=np.int64)
+    np.add.at(acc, seg, 2 * bits - 1)
+    packed = ((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+        axis=1, dtype=np.uint64
+    )
+    return pd.Series(packed.view(np.int64))
 
 
 def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append a ``simhash`` long column.
 
-    NOTE: Python's ``hash(str)`` is salted per interpreter (PYTHONHASHSEED);
-    Spark pins the seed across executors for a run, so results are consistent
-    within a job but not across processes. For cross-run determinism use
-    :func:`fingerprint` (xxhash64-based) from operators.text.
+    Deterministic across runs and processes: token hashes are Spark's
+    ``xxhash64`` (seed-free, JVM-side); the Arrow kernel only folds the bit
+    votes. (The previous implementation used Python's per-interpreter-salted
+    ``hash()`` — stable within one job, not across runs.)
     """
-    return df.withColumn("simhash", _simhash64(F.col(text_col)))
+    tok_hashes = F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
+    return df.withColumn("simhash", _simhash_from_hashes(tok_hashes))
 
 
 def simhash_near_duplicates(

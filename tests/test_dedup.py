@@ -122,3 +122,68 @@ def test_jaccard_join_max_df_drops_stop_shingles(spark):
     # with max_df=5 those shingles are stop-listed -> no candidates at all
     assert jaccard_similarity_join(df, threshold=0.01, max_df=5).count() == 0
     assert jaccard_similarity_join(df, threshold=0.01).count() > 0
+
+
+def test_simhash_deterministic_across_runs(spark):
+    """xxhash64-based simhash is a pure function of the text — pinned
+    literals guard against any per-process salt sneaking back in."""
+    from goffish_v3_spark.operators.dedup import simhash
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, ""),
+            (3, "alpha beta gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.simhash for r in simhash(df).collect()}
+    assert got == {
+        1: -7573889167326994222,
+        2: -7444071767201028348,
+        3: -8970745664593772831,
+    }
+    # identical texts -> identical simhash (hamming 0), different -> different
+    assert got[1] != got[3]
+
+
+def test_minhash_identical_group_collapses_before_banding(spark):
+    """500 byte-identical docs: banding sees ONE representative (linear
+    candidate work); star mode keeps the output linear too."""
+    from goffish_v3_spark.operators.dedup import minhash_lsh_pairs
+
+    rows = [(i, "exactly the same document body repeated many times") for i in range(500)]
+    rows.append((1000, "a genuinely different document about other things entirely"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    stars = minhash_lsh_pairs(df, jaccard_threshold=0.5, expand_identical=False)
+    got = stars.collect()
+    # linear: 499 star rows (rep 0 -> members 1..499), no quadratic blowup
+    assert len(got) == 499
+    assert all(r.id_a == 0 and r.jaccard == 1.0 for r in got)
+
+    # full expansion remains available and quadratic by contract
+    full = minhash_lsh_pairs(df, jaccard_threshold=0.5)
+    assert full.count() == 499 * 500 // 2
+
+
+def test_minhash_expansion_preserves_cross_group_pairs(spark):
+    """Near-dup pairs across exact-dup groups inherit the representative
+    pair's jaccard for every member combination."""
+    from goffish_v3_spark.operators.dedup import minhash_lsh_pairs
+
+    a = "the quick brown fox jumps over the lazy dog and then rests a while"
+    b = "the quick brown fox jumps over the lazy dog and then rests a bit"
+    rows = [(1, a), (2, a), (3, b), (4, b), (10, "something else entirely unrelated words")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(df, jaccard_threshold=0.3).collect()
+    }
+    # intra-group
+    assert pairs[(1, 2)] == 1.0 and pairs[(3, 4)] == 1.0
+    # cross-group: all 4 member combos share one verified jaccard
+    cross = {k: v for k, v in pairs.items() if k in {(1, 3), (1, 4), (2, 3), (2, 4)}}
+    assert len(cross) == 4
+    assert len(set(cross.values())) == 1
+    assert 0.3 <= next(iter(cross.values())) < 1.0
