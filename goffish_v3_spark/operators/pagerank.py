@@ -177,9 +177,13 @@ def pagerank_with_info(
             # plan would double per chained step (Catalyst analysis goes
             # exponential), so they materialize every superstep.
             eff_chain = 1 if adj_hot is not None else chain_every
-            if done or (i + 1) % eff_chain == 0:
+            materialized = done or (i + 1) % eff_chain == 0
+            if materialized:
                 new_state = new_state.localCheckpoint(eager=True)
-            return StepResult(new_state, done, truncated=True)
+            # truncated reflects what actually happened (ADVICE): the loop's
+            # truncate_every fallback (set to chain_every below) remains live
+            # for non-boundary steps instead of being silently bypassed
+            return StepResult(new_state, done, truncated=materialized)
         new_state = state.join(contrib, state.vid == contrib.dst, "left").select(
             "vid",
             (alpha * F.coalesce(F.col("s"), F.lit(0.0)) + base).alias("rank"),
@@ -204,6 +208,7 @@ def pagerank_with_info(
         run_id=run_id,
         max_iter=(fixed_iterations if fixed_iterations is not None else max_iter),
         checkpoint_every=checkpoint_every,
+        truncate_every=(chain_every if fixed_iterations is not None else 1),
     )
     info = loop.run(init, step, resume=resume)
     adj.unpersist()

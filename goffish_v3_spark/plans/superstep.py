@@ -44,6 +44,13 @@ def no_aqe(spark: SparkSession):
     vertex state every iteration — measured 41 s/18 s first-iteration spikes
     and ~25% slower steady state at 5.5M edges / 32 cores). Non-iterative
     operators keep AQE on.
+
+    CONCURRENCY: this mutates the session-global conf — it assumes the
+    single-threaded driver this engine uses throughout. Any plan compiled
+    concurrently on the same SparkSession (another driver thread, a
+    streaming micro-batch) would silently lose AQE, and nested/concurrent
+    loops could race the restore. For a multi-threaded driver, scope the
+    override with ``spark.newSession()`` per loop instead.
     """
     prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")

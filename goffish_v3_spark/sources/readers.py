@@ -87,6 +87,21 @@ def read_full_info(spark: SparkSession, path: str) -> DataFrame:
             toks.getItem(2).cast("long").alias("src"),
             F.slice(toks, 4, F.size(toks) - 3).alias("rest"),
         )
+        # malformed-line guard (ADVICE): a rest array that is not a whole
+        # number of (sink, sgid, pid) triples means a corrupt file — fail
+        # loudly instead of silently truncating/dropping edges. The assert
+        # lives in a predicate (assert_true returns NULL, isNull() is True)
+        # so column pruning cannot eliminate it.
+        .filter(
+            F.assert_true(
+                F.pmod(F.size("rest"), F.lit(3)) == 0,
+                F.concat(
+                    F.lit("malformed full-info line for vid "),
+                    F.col("src").cast("string"),
+                    F.lit(": rest size not a multiple of 3"),
+                ),
+            ).isNull()
+        )
     )
     triples = base.select(
         "part",

@@ -75,3 +75,18 @@ def test_fb_reference_graph(spark):
             e.exceptAll(e4).count() == 0 and e4.exceptAll(e).count() == 0
         ), "4-partition split must contain exactly the same edges"
     e.unpersist()
+
+
+def test_full_info_malformed_line_fails_loudly(spark, tmp_path):
+    """A rest array that is not a whole number of (sink, sgid, pid) triples
+    must raise, not silently drop edges (ADVICE guard)."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from goffish_v3_spark.sources.readers import read_full_info
+
+    p = tmp_path / "bad.txt"
+    p.write_text("0 1 100 200 2 0 300 3\n")  # 5 tokens after vid: 5 % 3 != 0
+    with pytest.raises(Exception) as ei:
+        read_full_info(spark, str(p)).collect()
+    assert "malformed" in str(ei.value) or "ASSERT" in str(ei.value).upper()
