@@ -64,6 +64,12 @@ def main() -> None:
     # ---- link-graph suite on the cs graph -------------------------------
     cs = customer_supplier_edges(spark, SF_DIR).persist()
     n_cs_edges = cs.count()
+    n_cs_vertices = (
+        cs.select(F.col("src").alias("v"))
+        .unionByName(cs.select(F.col("dst").alias("v")))
+        .distinct()
+        .count()
+    )
 
     with timed("pagerank_cs_10it"):
         scores, info = pagerank_with_info(spark, cs, fixed_iterations=PR_BENCH_ITERS)
@@ -76,6 +82,12 @@ def main() -> None:
     with timed("pagerank_cs_converge"):
         _, info = pagerank_with_info(spark, cs)
     extra["pagerank_cs_supersteps_to_eps"] = info.supersteps
+    # the reference's absolute ε=1e-3 is trivially met once N is large
+    # (1/N ≪ ε); report a relative gate alongside so the convergence bench
+    # measures propagation, not setup (VERDICT round-1 note)
+    with timed("pagerank_cs_converge_rel"):
+        _, info_rel = pagerank_with_info(spark, cs, eps=1e-3 / n_cs_vertices)
+    extra["pagerank_cs_supersteps_to_rel_eps"] = info_rel.supersteps
 
     with timed("wcc_cs"):
         wcc(spark, cs, num_parts=CPUS).count()

@@ -54,6 +54,83 @@ def read_adjacency_vertices(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_full_info_nonsplit(spark: SparkSession, path: str) -> DataFrame:
+    """Whole-file / bucketed-locality mode (B6): one FILE ≡ one partition,
+    no shuffle at all — the analogue of the reference's unsplittable
+    ``NonSplitTextInputFormat`` (hama NonSplitTextInputFormat.java:26-31,
+    FullInfoNonSplitReader.java:47-186; Giraph's whole-file splits,
+    GiraphSubgraphTextInputFormat.java:31-45).
+
+    Reads each file atomically (``wholetext``) so every line of a partition
+    file stays in the Spark partition that read it; the ``part`` column from
+    the file's own rows is trusted (the format guarantees one pid per file)
+    and validated against being single-valued per file. Same row schema as
+    :func:`read_full_info`."""
+    files = spark.read.text(path, wholetext=True).select(
+        F.input_file_name().alias("file"), "value"
+    )
+    lines = files.select(
+        "file", F.explode(F.split("value", r"\r?\n")).alias("value")
+    ).filter(F.length(F.trim("value")) > 0)
+    toks = _tokens()
+    base = lines.select(
+        "file",
+        toks.getItem(0).cast("int").alias("part"),
+        toks.getItem(1).cast("long").alias("sgid"),
+        toks.getItem(2).cast("long").alias("src"),
+        F.slice(toks, 4, F.size(toks) - 3).alias("rest"),
+    ).filter(
+        F.assert_true(
+            F.pmod(F.size("rest"), F.lit(3)) == 0,
+            F.concat(
+                F.lit("malformed full-info line for vid "),
+                F.col("src").cast("string"),
+            ),
+        ).isNull()
+    )
+    # locality invariant: a non-split file carries exactly one partition id
+    one_pid = (
+        base.groupBy("file")
+        .agg(F.count_distinct("part").alias("npid"))
+        .filter(
+            F.assert_true(
+                F.col("npid") == 1,
+                F.concat(F.lit("non-split file with mixed pids: "), F.col("file")),
+            ).isNull()
+        )
+    )
+    base = base.join(one_pid.select("file"), "file", "left_semi").drop("file")
+    triples = base.select(
+        "part",
+        "sgid",
+        "src",
+        F.explode(
+            F.when(
+                F.size("rest") >= 3,
+                F.transform(
+                    F.sequence(F.lit(0), (F.size("rest") / 3 - 1).cast("int")),
+                    lambda i: F.struct(
+                        F.element_at("rest", (i * 3 + 1).cast("int")).cast("long").alias("dst"),
+                        F.element_at("rest", (i * 3 + 2).cast("int")).cast("long").alias("dst_sgid"),
+                        F.element_at("rest", (i * 3 + 3).cast("int")).cast("int").alias("dst_part"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<dst:bigint,dst_sgid:bigint,dst_part:int>>")
+            )
+        ).alias("e"),
+    )
+    return triples.select(
+        "src",
+        F.col("e.dst").alias("dst"),
+        F.lit(1.0).alias("w"),
+        "part",
+        "sgid",
+        F.col("e.dst_sgid").alias("dst_sgid"),
+        F.col("e.dst_part").alias("dst_part"),
+    )
+
+
 def read_partitioned_adjacency_list(spark: SparkSession, path: str) -> DataFrame:
     """``VID PID Sink1 Sink2 …`` → edges(src, dst, w, part). The reference
     re-mails misplaced vertices peer-to-peer (:94-137); here the ``part``

@@ -90,3 +90,36 @@ def test_full_info_malformed_line_fails_loudly(spark, tmp_path):
     with pytest.raises(Exception) as ei:
         read_full_info(spark, str(p)).collect()
     assert "malformed" in str(ei.value) or "ASSERT" in str(ei.value).upper()
+
+
+def test_full_info_nonsplit_file_per_partition(spark, tmp_path):
+    """B6 whole-file locality: each file is one partition; rows parse like
+    read_full_info and the file→partition invariant holds."""
+    from goffish_v3_spark.sources.readers import read_full_info, read_full_info_nonsplit
+
+    d = tmp_path / "parts"
+    d.mkdir()
+    (d / "partition0.txt").write_text("0 10 1 2 11 1 3 10 0\n0 10 3 1 10 0\n")
+    (d / "partition1.txt").write_text("1 11 2 1 10 0\n")
+    got = sorted(
+        (r.src, r.dst, r.part, r.sgid, r.dst_sgid, r.dst_part)
+        for r in read_full_info_nonsplit(spark, str(d)).collect()
+    )
+    want = sorted(
+        (r.src, r.dst, r.part, r.sgid, r.dst_sgid, r.dst_part)
+        for r in read_full_info(spark, str(d)).collect()
+    )
+    assert got == want
+    assert len(got) == 4
+
+
+def test_full_info_nonsplit_rejects_mixed_pids(spark, tmp_path):
+    import pytest
+
+    from goffish_v3_spark.sources.readers import read_full_info_nonsplit
+
+    d = tmp_path / "bad"
+    d.mkdir()
+    (d / "p0.txt").write_text("0 10 1 2 11 1\n1 11 2 1 10 0\n")  # two pids, one file
+    with pytest.raises(Exception):
+        read_full_info_nonsplit(spark, str(d)).collect()
