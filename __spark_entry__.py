@@ -442,6 +442,18 @@ FROM documents
 GROUP BY 1
 """
 
+TOP_TOKENS_SQL = r"""
+SELECT token, count(*) AS n FROM (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents
+) WHERE length(token) > 0
+GROUP BY token ORDER BY n DESC, token LIMIT 50
+"""
+
+DEDUP_KEEP_ONE_SQL = """
+SELECT doc_id FROM documents
+WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY sha256(text))
+"""
+
 ANN_TOPK_SQL = """
 WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10),
 c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -775,14 +787,40 @@ def _q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_media_features(spark: SparkSession, sf: str) -> DataFrame:
-    """Multimodal plumbing: synthesized binary media → Arrow-batched fake
-    decode → feature vectors (rows-only: generated in Spark)."""
+    """Multimodal pipeline with REAL decoding: synthesized PPM images / WAV
+    audio → pure-numpy decode → feature vectors (rows-only: payloads are
+    generated in Spark)."""
     from goffish_v3_spark.operators.multimodal import extract_features, synthesize_media
 
-    media = synthesize_media(spark, n=96, seed=7)
-    return extract_features(media, out_dim=16).select(
+    media = synthesize_media(spark, n=96, seed=7, real_formats=True)
+    return extract_features(media, out_dim=16, decode="real").select(
         "media_id", "kind", F.round(F.element_at("features", 1), 6).alias("f0")
     )
+
+
+def _q_top_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus token frequency top-50 (token-counting surface over the
+    documents table; deterministic total order)."""
+    from goffish_v3_spark.operators.text import tokens
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(50)
+    )
+
+
+def _q_dedup_keep_one(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-dedup keep-one-representative (min doc_id per content group) —
+    the write-side counterpart of dedup_exact_groups."""
+    from goffish_v3_spark.operators.dedup import dedup_exact
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return dedup_exact(docs).select("doc_id")
 
 
 def _q_events_window(spark: SparkSession, sf: str) -> DataFrame:
@@ -830,6 +868,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": _q_doc_quality,
         "lang_id": _q_lang_id,
         "dedup_exact_groups": _q_dedup_exact,
+        "dedup_keep_one": _q_dedup_keep_one,
+        "top_tokens": _q_top_tokens,
         "minhash_lsh_pairs": _q_minhash_pairs,
         "doc_fingerprint": _q_doc_fingerprint,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -868,6 +908,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": DOC_QUALITY_SQL,
         "lang_id": LANG_ID_SQL,
         "dedup_exact_groups": DEDUP_EXACT_SQL,
+        "dedup_keep_one": DEDUP_KEEP_ONE_SQL,
+        "top_tokens": TOP_TOKENS_SQL,
         "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
         # minhash_lsh_pairs / doc_fingerprint / simhash_near_dups:
         # xxhash64-based (no DuckDB twin); rows-only

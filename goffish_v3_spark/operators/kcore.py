@@ -80,18 +80,23 @@ def _local_hindex_fixpoint(
     return est
 
 
-def _make_kernel(superstep: int, cap: int | None = None):
+_EMPTY_OUT = {"part": "int32", "kind": "int32", "vid": "int64", "a": "int64"}
+
+
+def _make_kernel(
+    superstep: int, cap: int | None = None, blocks_path: str | None = None
+):
     """``cap`` caps estimates at k: the capped iteration converges to
     min(core, k) — distributed peeling for a fixed k. Cascades stop as soon
     as values saturate at the cap, so the k-core query needs only a handful
-    of global rounds instead of the full decomposition's propagation depth."""
+    of global rounds instead of the full decomposition's propagation depth.
 
-    def kernel(keys, csr_pdf: pd.DataFrame, sm_pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(csr_pdf) == 0:
-            return pd.DataFrame({"part": [], "kind": [], "vid": [], "a": []}).astype(
-                {"part": "int32", "kind": "int32", "vid": "int64", "a": "int64"}
-            )
-        blk = CsrBlock(csr_pdf.iloc[0])
+    ``blocks_path`` switches from cogrouped block shipping to the
+    worker-local block cache (plans.block_cache): the kernel becomes a plain
+    grouped map over state+messages and fetches its CSR block locally —
+    the reference's load-once-compute-many shape."""
+
+    def body(blk: CsrBlock, sm_pdf: pd.DataFrame) -> pd.DataFrame:
         n = blk.n_local
         deg = blk.out_degrees.astype(np.int64)
         if cap is not None:
@@ -170,7 +175,28 @@ def _make_kernel(superstep: int, cap: int | None = None):
             }
         )
 
-    return kernel
+    if blocks_path is None:
+
+        def kernel(keys, csr_pdf: pd.DataFrame, sm_pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(csr_pdf) == 0:
+                return pd.DataFrame(
+                    {"part": [], "kind": [], "vid": [], "a": []}
+                ).astype(_EMPTY_OUT)
+            return body(CsrBlock(csr_pdf.iloc[0]), sm_pdf)
+
+        return kernel
+
+    def cached_kernel(key, sm_pdf: pd.DataFrame) -> pd.DataFrame:
+        from goffish_v3_spark.plans.block_cache import load_block
+
+        blk = load_block(blocks_path, int(key[0]))
+        if blk is None:
+            return pd.DataFrame({"part": [], "kind": [], "vid": [], "a": []}).astype(
+                _EMPTY_OUT
+            )
+        return body(blk, sm_pdf)
+
+    return cached_kernel
 
 
 def _hindex_loop(
@@ -178,20 +204,36 @@ def _hindex_loop(
     blocks: DataFrame,
     cap: int | None,
     max_iter: int,
+    blocks_path: str | None = None,
+    parts: list[int] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Drive the kernel to global fixpoint; returns (final kind-0 state,
-    final kind-1 messages — fixpoint boundary estimates)."""
+    final kind-1 messages — fixpoint boundary estimates).
+
+    With ``blocks_path`` the loop runs in block-cache mode: supersteps are a
+    grouped map over state+messages only (kind=-1 seed rows bootstrap every
+    partition at superstep 0); blocks never re-enter the shuffle/Arrow
+    channel after the one-time write."""
     state = spark.createDataFrame([], OUT_SCHEMA)
     msgs = spark.createDataFrame([], OUT_SCHEMA)
+    if blocks_path is not None:
+        seed = spark.createDataFrame(
+            [(int(p), -1, -1, 0) for p in parts], OUT_SCHEMA
+        )
     with no_aqe(spark):
         for i in range(max_iter):
-            kernel = _make_kernel(i, cap=cap)
+            kernel = _make_kernel(i, cap=cap, blocks_path=blocks_path)
             mixed = state.unionByName(msgs)
-            out = (
-                blocks.groupby("part")
-                .cogroup(mixed.groupby("part"))
-                .applyInPandas(kernel, schema=OUT_SCHEMA)
-            )
+            if blocks_path is None:
+                out = (
+                    blocks.groupby("part")
+                    .cogroup(mixed.groupby("part"))
+                    .applyInPandas(kernel, schema=OUT_SCHEMA)
+                )
+            else:
+                if i == 0:
+                    mixed = mixed.unionByName(seed)
+                out = mixed.groupby("part").applyInPandas(kernel, schema=OUT_SCHEMA)
             # changed-count rides the checkpoint materialization — one job
             # per superstep, like the PageRank ε-gate
             obs = Observation(f"kcore_step_{i}")
@@ -211,12 +253,39 @@ def core_numbers(
     edges: DataFrame,
     num_parts: int | None = None,
     max_iter: int = 1000,
+    cache_blocks: bool = True,
 ) -> DataFrame:
     """``(vid long, core long)`` for every vertex of the undirected simple
-    graph induced by ``edges`` (self-loops ignored)."""
+    graph induced by ``edges`` (self-loops ignored).
+
+    ``cache_blocks`` (default) writes the CSR blocks once and serves them
+    from the worker-local cache across the (many) global rounds of the full
+    decomposition, instead of re-shipping every block through Arrow each
+    superstep."""
     if num_parts is None:
         num_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     blocks = build_csr_blocks_sym(spark, edges, num_parts)
+    if cache_blocks:
+        import shutil
+        import tempfile
+
+        from goffish_v3_spark.plans.block_cache import write_blocks
+
+        path = tempfile.mkdtemp(prefix="goffish_csr_")
+        try:
+            write_blocks(blocks, path)
+            parts = [r.part for r in blocks.select("part").collect()]
+            blocks.unpersist()
+            state, _ = _hindex_loop(
+                spark, blocks, cap=None, max_iter=max_iter,
+                blocks_path=path, parts=parts,
+            )
+            result = state.select("vid", F.col("a").alias("core")).localCheckpoint(
+                eager=True
+            )
+        finally:
+            shutil.rmtree(path, ignore_errors=True)
+        return result
     state, _ = _hindex_loop(spark, blocks, cap=None, max_iter=max_iter)
     result = state.select("vid", F.col("a").alias("core")).localCheckpoint(eager=True)
     blocks.unpersist()

@@ -3,19 +3,27 @@
 Image/audio/video payloads are opaque ``binary`` columns with a typed
 metadata struct; decode / feature-extraction / resize / frame-sampling run as
 Arrow-batched ``mapInPandas`` operators so each task processes whole record
-batches without per-row Python overhead.
+batches without per-row Python overhead on the Spark side.
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so the
-decode kernels are STUBBED: ``decode="fake"`` produces a deterministic fake
-decode (shape-correct numpy output derived from the payload hash) and
-``decode="real"`` raises ``NotImplementedError`` at the exact spot a codec
-call belongs. Everything Spark-side — schema, batch iteration, partitioning,
-output contract — is real and tested.
+Decode paths:
+- ``decode="real"`` — genuine decoding for the container-friendly formats
+  implemented here in pure numpy: **PPM (P6)** images and **WAV (RIFF
+  PCM16)** audio. Formats that need PIL/ffmpeg (JPEG/PNG/MP4) raise
+  ``NotImplementedError`` at the exact spot the codec call belongs — video
+  containers have no dependency-free decode, so frame *sampling* stays
+  stubbed while frame *timing* is real.
+- ``decode="fake"`` — deterministic shape-correct stand-in derived from the
+  payload hash (useful when payloads are arbitrary test bytes).
+
+``synthesize_media(real_formats=True)`` emits real PPM/WAV payloads so the
+whole pipeline — synthesis → decode → features/resize — runs honestly
+end-to-end in this container.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
 import numpy as np
@@ -28,29 +36,150 @@ MEDIA_SCHEMA = (
     "duration_ms int, codec string"
 )
 
+WAV_RATE = 8000
 
-def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table for tests: payload = sha-chain bytes."""
-    df = spark.range(n).select(
+
+# ---------------------------------------------------------------------------
+# pure-numpy codecs (no PIL / ffmpeg)
+# ---------------------------------------------------------------------------
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM (P6)."""
+    h, w, c = pixels.shape
+    assert c == 3
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """binary PPM (P6) → (h, w, 3) uint8. Raises ValueError on corruption."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    parts = payload.split(b"\n", 3)
+    if len(parts) < 4:
+        raise ValueError("truncated PPM header")
+    w, h = (int(x) for x in parts[1].split())
+    maxval = int(parts[2])
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    raw = parts[3]
+    need = w * h * 3
+    if len(raw) < need:
+        raise ValueError("truncated PPM pixel data")
+    return np.frombuffer(raw[:need], dtype=np.uint8).reshape(h, w, 3)
+
+
+def encode_wav(samples: np.ndarray, rate: int = WAV_RATE) -> bytes:
+    """int16 mono samples → RIFF/WAVE PCM16 bytes."""
+    data = samples.astype("<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 → (int16 samples flattened across channels, rate)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, bits, samples = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag, _ch, rate, _bps, _ba, bits = struct.unpack("<HHIIHH", body[:16])
+            if fmt_tag != 1 or bits != 16:
+                raise ValueError("only PCM16 supported")
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)
+    if rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return samples, rate
+
+
+# ---------------------------------------------------------------------------
+# synthesis
+# ---------------------------------------------------------------------------
+
+def synthesize_media(
+    spark, n: int = 64, seed: int = 42, real_formats: bool = False
+) -> DataFrame:
+    """Deterministic media table for tests.
+
+    ``real_formats=False``: payload = sha-chain bytes (codec 'fake/v1').
+    ``real_formats=True``: images are real PPM (P6) gradients+noise, audio
+    is a real WAV sine+noise, video keeps an opaque payload (codec 'raw/v0')
+    — all pure functions of (media_id, seed)."""
+    base = spark.range(n).select(
         F.col("id").alias("media_id"),
         F.element_at(
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
             (F.pmod("id", F.lit(3)) + 1).cast("int"),
         ).alias("kind"),
-        F.to_binary(
-            F.sha2(F.concat_ws(":", F.col("id"), F.lit(str(seed))), 256), F.lit("hex")
-        ).alias("payload"),
         (F.pmod("id", F.lit(4)) * 64 + 64).cast("int").alias("width"),
         (F.pmod("id", F.lit(3)) * 64 + 64).cast("int").alias("height"),
         (F.pmod("id", F.lit(7)) * 1000 + 500).cast("int").alias("duration_ms"),
-        F.lit("fake/v1").alias("codec"),
     )
-    return df
+    if not real_formats:
+        return base.withColumn(
+            "payload",
+            F.to_binary(
+                F.sha2(F.concat_ws(":", F.col("media_id"), F.lit(str(seed))), 256),
+                F.lit("hex"),
+            ),
+        ).withColumn("codec", F.lit("fake/v1"))
 
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, codecs = [], []
+            for _, r in pdf.iterrows():
+                rng = np.random.default_rng((seed << 20) ^ int(r["media_id"]))
+                if r["kind"] == "image":
+                    w, h = int(r["width"]), int(r["height"])
+                    gx = np.linspace(0, 255, w, dtype=np.float64)[None, :, None]
+                    gy = np.linspace(0, 255, h, dtype=np.float64)[:, None, None]
+                    noise = rng.integers(0, 32, size=(h, w, 3))
+                    px = np.clip((gx + gy) / 2 + noise, 0, 255).astype(np.uint8)
+                    payloads.append(encode_ppm(px))
+                    codecs.append("ppm")
+                elif r["kind"] == "audio":
+                    dur_s = int(r["duration_ms"]) / 1000.0
+                    t = np.arange(int(WAV_RATE * dur_s)) / WAV_RATE
+                    freq = 110.0 * (1 + int(r["media_id"]) % 8)
+                    wave = 0.6 * np.sin(2 * np.pi * freq * t)
+                    wave += 0.05 * rng.standard_normal(len(t))
+                    payloads.append(
+                        encode_wav((np.clip(wave, -1, 1) * 32767).astype(np.int16))
+                    )
+                    codecs.append("wav")
+                else:
+                    payloads.append(rng.bytes(256))
+                    codecs.append("raw/v0")
+            pdf = pdf.copy()
+            pdf["payload"] = payloads
+            pdf["codec"] = codecs
+            yield pdf
+
+    gen_schema = (
+        "media_id long, kind string, width int, height int, duration_ms int, "
+        "payload binary, codec string"
+    )
+    return base.mapInPandas(gen, schema=gen_schema).select(
+        "media_id", "kind", "payload", "width", "height", "duration_ms", "codec"
+    )
+
+
+# ---------------------------------------------------------------------------
+# feature extraction / resize / frame sampling
+# ---------------------------------------------------------------------------
 
 def _fake_decode(payload: bytes, out_dim: int) -> np.ndarray:
     """Deterministic stand-in for a codec: expand the payload hash into a
-    float vector in [0,1). Replace with a real decoder on a cluster image."""
+    float vector in [0,1)."""
     h = hashlib.sha256(payload or b"").digest()
     reps = (out_dim * 4) // len(h) + 1
     buf = (h * reps)[: out_dim * 4]
@@ -58,14 +187,60 @@ def _fake_decode(payload: bytes, out_dim: int) -> np.ndarray:
     return arr / np.float64(2**32)
 
 
+def _image_features(px: np.ndarray, out_dim: int) -> np.ndarray:
+    """Channel means/stds + a coarse luminance grid, padded/truncated to
+    out_dim; all values scaled to [0,1]."""
+    feats = [px.mean(axis=(0, 1)) / 255.0, px.std(axis=(0, 1)) / 128.0]
+    lum = px.astype(np.float64).mean(axis=2)
+    g = max(1, int(np.sqrt(max(out_dim - 6, 1))))
+    h, w = lum.shape
+    grid = lum[: h - h % g or h, : w - w % g or w]
+    gh, gw = grid.shape
+    grid = grid.reshape(g, gh // g, g, gw // g).mean(axis=(1, 3)) / 255.0
+    vec = np.concatenate([np.concatenate(feats), grid.ravel()])
+    if len(vec) < out_dim:
+        vec = np.pad(vec, (0, out_dim - len(vec)))
+    return vec[:out_dim]
+
+
+def _audio_features(samples: np.ndarray, out_dim: int) -> np.ndarray:
+    """Windowed RMS energy resampled to out_dim, in [0,1]."""
+    x = samples.astype(np.float64) / 32768.0
+    if len(x) == 0:
+        return np.zeros(out_dim)
+    win = max(1, len(x) // out_dim)
+    usable = x[: (len(x) // win) * win]
+    rms = np.sqrt((usable.reshape(-1, win) ** 2).mean(axis=1))
+    if len(rms) < out_dim:
+        rms = np.pad(rms, (0, out_dim - len(rms)))
+    return rms[:out_dim]
+
+
+def _decode_features(row, out_dim: int, decode: str) -> np.ndarray:
+    payload = bytes(row["payload"])
+    if decode == "fake":
+        return _fake_decode(payload, out_dim)
+    codec = row["codec"]
+    if codec == "ppm":
+        return _image_features(decode_ppm(payload), out_dim)
+    if codec == "wav":
+        return _audio_features(decode_wav(payload)[0], out_dim)
+    if codec in ("fake/v1", "raw/v0"):
+        # honest fallback for payloads that are not a real format
+        return _fake_decode(payload, out_dim)
+    raise NotImplementedError(
+        f"codec {codec!r} requires PIL/ffmpeg — not in this container"
+    )
+
+
 def extract_features(
-    df: DataFrame, out_dim: int = 16, decode: str = "fake"
+    df: DataFrame, out_dim: int = 16, decode: str = "real"
 ) -> DataFrame:
     """Append ``features array<double>`` per media row via mapInPandas.
 
-    ``decode="real"`` marks where PIL/ffmpeg decoding belongs — raises
-    NotImplementedError in this container.
-    """
+    ``decode="real"`` decodes PPM/WAV payloads with the pure-numpy codecs
+    above (PIL/ffmpeg formats raise NotImplementedError); ``decode="fake"``
+    uses the hash stand-in regardless of codec."""
     if decode not in ("fake", "real"):
         raise ValueError(decode)
 
@@ -74,13 +249,10 @@ def extract_features(
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode == "real":
-                raise NotImplementedError(
-                    "real media decoding requires PIL/ffmpeg — not in this container"
-                )
             pdf = pdf.copy()
             pdf["features"] = [
-                _fake_decode(p, out_dim).tolist() for p in pdf["payload"]
+                _decode_features(r, out_dim, decode).tolist()
+                for _, r in pdf.iterrows()
             ]
             yield pdf
 
@@ -90,12 +262,13 @@ def extract_features(
 def sample_frames(
     df: DataFrame, every_ms: int = 250, max_frames: int = 16, decode: str = "fake"
 ) -> DataFrame:
-    """Video frame sampling: one output row per sampled frame with a
-    deterministic fake frame payload (``decode="real"`` = ffmpeg hook).
+    """Video frame sampling: one output row per sampled frame.
 
-    Output: ``(media_id long, frame_idx int, frame_ts_ms int,
-    frame binary)``.
-    """
+    Frame *timing* (index/timestamp cadence from duration_ms) is real;
+    frame *pixel extraction* needs a container demuxer (ffmpeg), so
+    ``decode="real"`` raises and ``decode="fake"`` emits deterministic
+    payload-hash frames. Output: ``(media_id long, frame_idx int,
+    frame_ts_ms int, frame binary)``."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -120,15 +293,34 @@ def sample_frames(
     )
 
 
-def resize_images(df: DataFrame, width: int = 64, height: int = 64, decode: str = "fake") -> DataFrame:
-    """Image resize plumbing: passes payloads through the batch pipeline and
-    rewrites metadata; the pixel work is the stubbed codec step."""
+def resize_images(
+    df: DataFrame, width: int = 64, height: int = 64, decode: str = "real"
+) -> DataFrame:
+    """Image resize. ``decode="real"`` decodes PPM payloads, nearest-
+    neighbour-resamples the pixels in numpy, and re-encodes PPM (payload AND
+    metadata change); non-PPM codecs raise NotImplementedError.
+    ``decode="fake"`` only rewrites metadata (plumbing test mode)."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode == "real":
-                raise NotImplementedError("PIL resize not available in this container")
             pdf = pdf.copy()
+            new_payloads = []
+            for _, r in pdf.iterrows():
+                if r["kind"] != "image":
+                    new_payloads.append(bytes(r["payload"]))
+                    continue
+                if decode == "fake":
+                    new_payloads.append(bytes(r["payload"]))
+                    continue
+                if r["codec"] != "ppm":
+                    raise NotImplementedError(
+                        f"resize of codec {r['codec']!r} requires PIL"
+                    )
+                px = decode_ppm(bytes(r["payload"]))
+                ys = (np.arange(height) * px.shape[0] // height).clip(0, px.shape[0] - 1)
+                xs = (np.arange(width) * px.shape[1] // width).clip(0, px.shape[1] - 1)
+                new_payloads.append(encode_ppm(px[ys][:, xs]))
+            pdf["payload"] = new_payloads
             is_img = pdf["kind"] == "image"
             pdf.loc[is_img, "width"] = width
             pdf.loc[is_img, "height"] = height

@@ -48,6 +48,7 @@ def pagerank_with_info(
     chain_every: int = 5,
     salt_threshold: int | None = None,
     num_salts: int = 32,
+    dense_ids: bool = False,
 ) -> tuple[DataFrame, RunInfo]:
     """Run PageRank; return (scores ``(vid, rank)``, RunInfo).
 
@@ -62,7 +63,18 @@ def pagerank_with_info(
     keys keep the plain one-stage path. Results are identical either way
     (sums reassociate); composes with AQE skew splitting, which handles
     moderate skew without being asked.
+
+    ``dense_ids`` remaps the (64-bit, xxhash64-range) vertex ids to dense
+    int32 before the loop and back after: every per-superstep row (adjacency
+    scan, contribution shuffle keys, state) narrows by 4-12 bytes, which is
+    real bandwidth on a memory-bound superstep and the right shape when
+    xxhash64 ids at 10^12 keys would otherwise flow through every shuffle.
+    One-time cost: a distributed zipWithIndex + two remap joins. The remap
+    is deterministic within a run but not across processes — incompatible
+    with ``resume`` (raises).
     """
+    if dense_ids and resume:
+        raise ValueError("dense_ids remap is per-run; resume needs stable vids")
     e = edges.select("src", "dst").distinct().persist()
     vertices = (
         e.select(F.col("src").alias("vid"))
@@ -75,6 +87,30 @@ def pagerank_with_info(
         e.unpersist()
         return empty, RunInfo(run_id="empty", supersteps=0, converged=True,
                               wall_s=0.0, state=empty)
+    dim = None
+    if dense_ids:
+        rdd = (
+            vertices.rdd.map(lambda r: r["vid"])
+            .zipWithIndex()
+            .map(lambda t: (t[0], t[1]))
+        )
+        dim = (
+            spark.createDataFrame(rdd, "vid long, ivid long")
+            .select("vid", F.col("ivid").cast("int").alias("ivid"))
+            .persist()
+        )
+        dim.count()
+        e_wide = e
+        e = (
+            e.join(dim.select(F.col("vid").alias("src"), F.col("ivid").alias("isrc")), "src")
+            .join(dim.select(F.col("vid").alias("dst"), F.col("ivid").alias("idst")), "dst")
+            .select(F.col("isrc").alias("src"), F.col("idst").alias("dst"))
+            .persist()
+        )
+        e.count()
+        e_wide.unpersist()
+        vertices = dim.select(F.col("ivid").alias("vid"))
+
     outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
     # adjacency annotated with source out-degree once, reused every superstep.
     # Persist it pre-shuffled AND pre-sorted on the join key: the cached plan
@@ -217,7 +253,15 @@ def pagerank_with_info(
         adj_cold.unpersist()
     if vdim is not None:
         vdim.unpersist()
-    return info.state, info
+    scores = info.state
+    if dim is not None:
+        scores = (
+            scores.join(dim, scores.vid == dim.ivid)
+            .select(dim["vid"].alias("vid"), "rank")
+            .localCheckpoint(eager=True)
+        )
+        dim.unpersist()
+    return scores, info
 
 
 def pagerank(spark: SparkSession, edges: DataFrame, **kw) -> DataFrame:

@@ -30,3 +30,15 @@ def test_ba_vs_oracle(spark):
     df = graphs.to_df(spark, edges)
     got = {r.vid: r.core for r in core_numbers(spark, df).collect()}
     assert got == kcore_oracle(edges)
+
+
+def test_core_numbers_block_cache_mode_matches(spark):
+    """Worker-local block-cache execution (load-once-compute-many) returns
+    the same core numbers as cogrouped block shipping."""
+    from goffish_v3_spark.operators.kcore import core_numbers
+    from tests import graphs
+
+    df = graphs.to_df(spark, graphs.barabasi_albert(250, m=4, seed=13))
+    a = {r.vid: r.core for r in core_numbers(spark, df, num_parts=4, cache_blocks=False).collect()}
+    b = {r.vid: r.core for r in core_numbers(spark, df, num_parts=4, cache_blocks=True).collect()}
+    assert a == b

@@ -1,8 +1,14 @@
-"""Multimodal plumbing: schemas, batch shapes, deterministic fake decode."""
+"""Multimodal: real pure-numpy PPM/WAV decode paths + batch plumbing +
+deterministic fake fallback; PIL/ffmpeg-needing codecs stay loudly gated."""
 
+import numpy as np
 import pytest
 
 from goffish_v3_spark.operators.multimodal import (
+    decode_ppm,
+    decode_wav,
+    encode_ppm,
+    encode_wav,
     extract_features,
     resize_images,
     sample_frames,
@@ -10,21 +16,66 @@ from goffish_v3_spark.operators.multimodal import (
 )
 
 
-def test_extract_features_shape_and_determinism(spark):
+def test_ppm_roundtrip():
+    px = (np.arange(4 * 6 * 3) % 256).astype(np.uint8).reshape(4, 6, 3)
+    assert np.array_equal(decode_ppm(encode_ppm(px)), px)
+
+
+def test_wav_roundtrip():
+    s = (np.sin(np.arange(800) / 10) * 20000).astype(np.int16)
+    out, rate = decode_wav(encode_wav(s, rate=8000))
+    assert rate == 8000
+    assert np.array_equal(out, s)
+
+
+def test_extract_features_fake_payloads(spark):
     media = synthesize_media(spark, n=30)
     out = extract_features(media, out_dim=16).collect()
     assert len(out) == 30
     assert all(len(r.features) == 16 for r in out)
-    assert all(0.0 <= x < 1.0 for r in out for x in r.features)
     again = {r.media_id: r.features for r in extract_features(media, out_dim=16).collect()}
     assert all(again[r.media_id] == r.features for r in out)
 
 
-def test_real_decode_is_stubbed(spark):
-    media = synthesize_media(spark, n=3)
+def test_extract_features_real_formats(spark):
+    """Images/audio carry genuine PPM/WAV payloads; the real decode path
+    parses them (not a hash stand-in) and is deterministic."""
+    media = synthesize_media(spark, n=12, seed=5, real_formats=True)
+    rows = {r.media_id: r for r in media.collect()}
+    # payloads really are the formats they claim
+    img = next(r for r in rows.values() if r.kind == "image")
+    assert bytes(img.payload).startswith(b"P6")
+    assert decode_ppm(bytes(img.payload)).shape == (img.height, img.width, 3)
+    aud = next(r for r in rows.values() if r.kind == "audio")
+    assert bytes(aud.payload)[:4] == b"RIFF"
+
+    out = {r.media_id: r.features for r in extract_features(media, out_dim=16, decode="real").collect()}
+    assert all(len(v) == 16 for v in out.values())
+    # real image features reflect pixel stats: distinct from the hash fake
+    fake = {r.media_id: r.features for r in extract_features(media, out_dim=16, decode="fake").collect()}
+    assert out[img.media_id] != fake[img.media_id]
+    again = {r.media_id: r.features for r in extract_features(media, out_dim=16, decode="real").collect()}
+    assert again == out
+
+
+def test_real_decode_unknown_codec_raises(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "media_id": [1],
+            "kind": ["image"],
+            "payload": [b"\xff\xd8\xff\xe0 jpeg-ish"],
+            "width": [8],
+            "height": [8],
+            "duration_ms": [0],
+            "codec": ["jpeg"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
     with pytest.raises(Exception) as exc:
-        extract_features(media, decode="real").collect()
-    assert "NotImplementedError" in str(exc.value) or "real media decoding" in str(exc.value)
+        extract_features(df, decode="real").collect()
+    assert "NotImplementedError" in str(exc.value) or "PIL" in str(exc.value)
 
 
 def test_sample_frames_only_videos(spark):
@@ -36,11 +87,18 @@ def test_sample_frames_only_videos(spark):
     assert all(len(r.frame) == 32 for r in frames)
 
 
-def test_resize_rewrites_image_metadata(spark):
-    media = synthesize_media(spark, n=30)
-    out = resize_images(media, width=32, height=32).collect()
+def test_resize_real_ppm_payloads(spark):
+    media = synthesize_media(spark, n=12, seed=9, real_formats=True)
+    out = resize_images(media, width=32, height=32, decode="real").collect()
     for r in out:
         if r.kind == "image":
             assert (r.width, r.height) == (32, 32)
-        else:
-            assert (r.width, r.height) != (32, 32) or r.kind == "image"
+            assert decode_ppm(bytes(r.payload)).shape == (32, 32, 3)
+
+
+def test_resize_fake_mode_rewrites_metadata_only(spark):
+    media = synthesize_media(spark, n=30)
+    out = resize_images(media, width=32, height=32, decode="fake").collect()
+    for r in out:
+        if r.kind == "image":
+            assert (r.width, r.height) == (32, 32)
