@@ -41,8 +41,14 @@ files_per_repo = int(os.environ.get("SCALING_FILES_PER_REPO", "500"))
 shuffle_parts = int(os.environ.get("SCALING_SHUFFLE_PARTS", "64"))
 spark = get_spark(app_name=f"scaling-{cores}", master=f"local[{cores}]",
                   shuffle_partitions=shuffle_parts)
-repos = generate_repos(spark, n_repos=n_repos, files_per_repo=files_per_repo, seed=42)
-edges = ingest(repos).edges.persist()
+edges_path = os.environ.get("SCALING_EDGES_PATH")
+if edges_path:
+    # pre-generated once (at full parallelism) so low-core children spend
+    # their budget on the measured job, not on input synthesis
+    edges = spark.read.parquet(edges_path).persist()
+else:
+    repos = generate_repos(spark, n_repos=n_repos, files_per_repo=files_per_repo, seed=42)
+    edges = ingest(repos).edges.persist()
 n_edges = edges.count()
 # warmup superstep machinery + JIT
 pagerank_with_info(spark, edges, fixed_iterations=2)
@@ -67,7 +73,7 @@ def run(cores: int, sf: str, iters: int) -> dict:
         capture_output=True,
         text=True,
         env=env,
-        timeout=3000,
+        timeout=7200,
     )
     last = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
     if not last:
