@@ -670,10 +670,54 @@ def _q_subgraph_pagerank_cs(spark: SparkSession, sf: str) -> DataFrame:
 REPO_ARTIFACT = "/root/repo/.artifacts/repos_oracle_parquet"
 
 
+def _artifact_digest(pdf) -> str:
+    """Row-content sha256 over the (repo, path)-sorted frame — column-order
+    and file-layout independent."""
+    import hashlib
+
+    h = hashlib.sha256()
+    cols = ["repo", "path", "commit", "lang", "content"]
+    for row in pdf[cols].itertuples(index=False):
+        h.update(("\x1f".join(str(v) for v in row) + "\n").encode())
+    return h.hexdigest()
+
+
+def _ensure_repo_artifact(repos: DataFrame) -> None:
+    """Validate the committed oracle artifact against the freshly generated
+    repos table; write it ONCE (fixed-name pyarrow file) only if absent.
+
+    Never rewrites in place: a changed ``generate_repos`` raises instead of
+    silently redefining the oracle input, and repeated driver runs leave the
+    git tree clean (no random Spark part filenames)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    gen = repos.toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    fixed = os.path.join(REPO_ARTIFACT, "repos.parquet")
+    if os.path.exists(fixed):
+        cur = (
+            pq.read_table(fixed)
+            .to_pandas()
+            .sort_values(["repo", "path"])
+            .reset_index(drop=True)
+        )
+        if _artifact_digest(cur) != _artifact_digest(gen):
+            raise RuntimeError(
+                "generate_repos output drifted from the committed oracle "
+                f"artifact at {fixed}; regenerate the artifact deliberately "
+                "instead of overwriting it as a side effect"
+            )
+        return
+    os.makedirs(REPO_ARTIFACT, exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(gen, preserve_index=False), fixed)
+
+
 def _q_repo_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """Flagship (north_rule): synthetic repos → ingest → PageRank → top files.
 
-    The generated repos table is also written to ``REPO_ARTIFACT`` (a
+    The generated repos table is validated against ``REPO_ARTIFACT`` (a
     committed, deterministic parquet) so the DuckDB oracle can replay the
     whole derivation — regexp edge extraction, resolution semi-join, unrolled
     PageRank — on the identical input, string-keyed (vids never surface in
@@ -683,7 +727,7 @@ def _q_repo_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     from goffish_v3_spark.sources.synthetic import generate_repos
 
     repos = generate_repos(spark, n_repos=5, files_per_repo=40, seed=42)
-    repos.coalesce(1).write.mode("overwrite").parquet(REPO_ARTIFACT)
+    _ensure_repo_artifact(repos)
     repos = spark.read.parquet(REPO_ARTIFACT)
     graph = ingest(repos)
     pr = pagerank(spark, graph.edges, fixed_iterations=PR_ITERS)

@@ -277,7 +277,12 @@ def jaccard_similarity_join(
 
     ``max_df`` drops shingles appearing in more than that many documents
     (stop-shingles) — the scale guard against a single common shingle going
-    quadratic; omitting it keeps the join exact."""
+    quadratic; omitting it keeps the join exact. With ``max_df`` set, both
+    the intersection counts AND the set sizes are computed over the
+    *surviving* shingles, so numerator and denominator use the same universe
+    (Jaccard over the filtered shingle space); the remaining approximation is
+    candidate recall only — a pair sharing nothing but stop-shingles is never
+    generated."""
     sh = df.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(string_shingles(text_col, shingle)).alias("shset"),
@@ -289,7 +294,11 @@ def jaccard_similarity_join(
             .filter(F.col("df") <= max_df)
             .select("shingle")
         )
-        sh = sh.join(ok, "shingle", "left_semi")
+        sh = sh.join(ok, "shingle", "left_semi").drop("sz")
+        # recompute sizes over the filtered universe (shingles are distinct
+        # per doc, so count(*) per _id = |surviving shingle set|)
+        sz = sh.groupBy("_id").agg(F.count("*").alias("sz"))
+        sh = sh.join(sz, "_id")
     a = sh.alias("a")
     b = sh.select(
         F.col("_id").alias("_id_b"), F.col("sz").alias("sz_b"), "shingle"
@@ -356,12 +365,15 @@ def _simhash_from_hashes(tok_hashes: pd.Series) -> pd.Series:
     n = len(tok_hashes)
     if n == 0:
         return pd.Series(np.empty(0, dtype=np.int64))
-    lens = np.fromiter((len(x) for x in tok_hashes), dtype=np.int64, count=n)
+    # NULL text ⇒ NULL token array ⇒ None element here: treat as empty
+    lens = np.fromiter(
+        (len(x) if x is not None else 0 for x in tok_hashes), dtype=np.int64, count=n
+    )
     total = int(lens.sum())
     if total == 0:
         return pd.Series(np.zeros(n, dtype=np.int64))
     flat = np.concatenate(
-        [np.asarray(x, dtype=np.int64) for x in tok_hashes if len(x)]
+        [np.asarray(x, dtype=np.int64) for x in tok_hashes if x is not None and len(x)]
     ).view(np.uint64)
     seg = np.repeat(np.arange(n, dtype=np.int64), lens)
     bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
@@ -382,8 +394,12 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     ``xxhash64`` (seed-free, JVM-side); the Arrow kernel only folds the bit
     votes. (The previous implementation used Python's per-interpreter-salted
     ``hash()`` — stable within one job, not across runs.)
-    """
-    tok_hashes = F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
+
+    NULL text hashes like the empty string (simhash 0) instead of failing
+    the stage."""
+    tok_hashes = F.transform(
+        tokens(F.coalesce(F.col(text_col), F.lit(""))), lambda t: F.xxhash64(t)
+    )
     return df.withColumn("simhash", _simhash_from_hashes(tok_hashes))
 
 

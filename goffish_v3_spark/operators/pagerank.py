@@ -89,17 +89,24 @@ def pagerank_with_info(
                               wall_s=0.0, state=empty)
     dim = None
     if dense_ids:
+        if n >= 2**31:
+            raise ValueError(
+                f"dense_ids int32 remap overflows at {n} vertices (≥ 2^31); "
+                "run with dense_ids=False for wider id spaces"
+            )
         rdd = (
             vertices.rdd.map(lambda r: r["vid"])
             .zipWithIndex()
             .map(lambda t: (t[0], t[1]))
         )
+        # localCheckpoint (not persist): zipWithIndex is order-dependent, so
+        # a recompute after eviction could assign different ids mid-run —
+        # sever the lineage so the remap is immutable for the whole loop
         dim = (
             spark.createDataFrame(rdd, "vid long, ivid long")
             .select("vid", F.col("ivid").cast("int").alias("ivid"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        dim.count()
         e_wide = e
         e = (
             e.join(dim.select(F.col("vid").alias("src"), F.col("ivid").alias("isrc")), "src")
@@ -260,7 +267,6 @@ def pagerank_with_info(
             .select(dim["vid"].alias("vid"), "rank")
             .localCheckpoint(eager=True)
         )
-        dim.unpersist()
     return scores, info
 
 

@@ -187,3 +187,34 @@ def test_minhash_expansion_preserves_cross_group_pairs(spark):
     assert len(cross) == 4
     assert len(set(cross.values())) == 1
     assert 0.3 <= next(iter(cross.values())) < 1.0
+
+
+def test_simhash_null_text(spark):
+    """NULL text hashes like the empty string instead of failing the stage
+    (ADVICE: tokens(NULL) is a NULL array reaching the Arrow kernel)."""
+    from goffish_v3_spark.operators.dedup import simhash
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "hello world"), (3, "")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.simhash for r in simhash(df).collect()}
+    assert got[1] == got[3]  # NULL hashes like the empty string
+    assert got[2] != got[1]
+
+
+def test_jaccard_max_df_sizes_use_filtered_universe(spark):
+    """With max_df, set sizes are computed over the SURVIVING shingles, so
+    numerator and denominator agree (ADVICE: full-set sizes systematically
+    underestimated Jaccard for docs containing stop-shingles)."""
+    from goffish_v3_spark.operators.dedup import jaccard_similarity_join
+
+    rows = [(100, "s1 s2 s3 c1 c2 c3 a1"), (101, "s1 s2 s3 c1 c2 c3 b1")]
+    rows += [(i, f"s1 s2 s3 f{i}a f{i}b f{i}c") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_similarity_join(df, threshold=0.5, max_df=5).collect()
+    }
+    # surviving sets: 4 shingles each, 3 shared -> 3/5; the old full-set
+    # denominator gave 3/7 ≈ 0.43 and silently dropped the pair at 0.5
+    assert got == {(100, 101): 0.6}

@@ -27,3 +27,27 @@ def test_entry_returns_rows(spark):
 def test_sample_query_runs_at_sf0001(spark):
     df = E.queries()["edges_cs"](spark, "/root/testdata/sf0.001")
     assert df.count() > 100
+
+
+def test_repo_artifact_write_once_then_validate(spark, tmp_path, monkeypatch):
+    """The oracle artifact is written once with a fixed filename, then only
+    validated — repeat runs leave the tree byte-stable, and a drifted
+    generator fails loudly instead of redefining the oracle input."""
+    import os
+
+    import pytest
+
+    from goffish_v3_spark.sources.synthetic import generate_repos
+
+    monkeypatch.setattr(E, "REPO_ARTIFACT", str(tmp_path / "art"))
+    repos = generate_repos(spark, n_repos=2, files_per_repo=5, seed=7)
+    E._ensure_repo_artifact(repos)
+    fixed = tmp_path / "art" / "repos.parquet"
+    first = fixed.read_bytes()
+    E._ensure_repo_artifact(repos)  # no-op validate
+    assert fixed.read_bytes() == first
+    assert os.listdir(tmp_path / "art") == ["repos.parquet"]
+    drifted = generate_repos(spark, n_repos=2, files_per_repo=5, seed=8)
+    with pytest.raises(RuntimeError, match="drifted"):
+        E._ensure_repo_artifact(drifted)
+    assert fixed.read_bytes() == first
