@@ -213,6 +213,97 @@ SELECT vid, deg FROM (
     )
 
 
+KMEANS_K = 4
+KMEANS_GROWTH_ROUNDS = 30
+KMEANS_REFINE_ROUNDS = 3
+
+
+def _kmeans_sql(
+    k: int = KMEANS_K,
+    growth_rounds: int = KMEANS_GROWTH_ROUNDS,
+    refine_rounds: int = KMEANS_REFINE_ROUNDS,
+) -> str:
+    """Unrolled replay of operators.kmeans_partition(id_strata=True): mod-k
+    seed strata (max-degree vertex per stratum, ties to the larger vid), BFS
+    growth rounds adopting the smallest-then-lowest-id candidate cluster,
+    mod-k fallback for unreached vertices, then majority-vote refine rounds
+    (votes desc, size asc, cluster asc). Rounds past frontier exhaustion are
+    no-ops, so unrolling the Spark side's max_rounds exactly is lossless."""
+    ctes = [
+        f"e AS MATERIALIZED ({CS_EDGES_SQL})",
+        "und AS MATERIALIZED (SELECT src AS a, dst AS b FROM e WHERE src<>dst "
+        "UNION SELECT dst, src FROM e WHERE src<>dst)",
+        "allv AS MATERIALIZED (SELECT src AS vid FROM e UNION SELECT dst FROM e)",
+        "deg AS (SELECT a AS vid, count(*) AS deg FROM und GROUP BY a)",
+        f"""l0 AS MATERIALIZED (
+  SELECT vid, CAST(vid % {k} AS INT) AS cluster FROM (
+    SELECT vid, row_number() OVER (PARTITION BY vid % {k}
+                                   ORDER BY deg DESC, vid DESC) AS rn
+    FROM deg
+  ) WHERE rn = 1
+)""",
+        "f0 AS (SELECT * FROM l0)",
+    ]
+    for i in range(1, growth_rounds + 1):
+        ctes.append(
+            f"""f{i} AS MATERIALIZED (
+  SELECT vid, cluster FROM (
+    SELECT c.vid, c.cluster,
+           row_number() OVER (PARTITION BY c.vid
+                              ORDER BY coalesce(s.n, 0) ASC, c.cluster ASC) AS rn
+    FROM (
+      SELECT u.b AS vid, f.cluster
+      FROM f{i-1} f JOIN und u ON f.vid = u.a
+      WHERE u.b NOT IN (SELECT vid FROM l{i-1})
+    ) c
+    LEFT JOIN (SELECT cluster, count(*) AS n FROM l{i-1} GROUP BY cluster) s
+      ON s.cluster = c.cluster
+  ) WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"l{i} AS MATERIALIZED (SELECT * FROM l{i-1} UNION ALL SELECT * FROM f{i})"
+        )
+    ctes.append(
+        f"rest AS (SELECT vid, CAST(vid % {k} AS INT) AS cluster FROM allv "
+        f"WHERE vid NOT IN (SELECT vid FROM l{growth_rounds}))"
+    )
+    ctes.append(
+        f"o0 AS MATERIALIZED (SELECT * FROM l{growth_rounds} UNION ALL SELECT * FROM rest)"
+    )
+    for j in range(1, refine_rounds + 1):
+        ctes.append(
+            f"""r{j} AS MATERIALIZED (
+  SELECT vid, cluster FROM (
+    SELECT g.vid, g.cluster,
+           row_number() OVER (PARTITION BY g.vid
+                              ORDER BY g.votes DESC, coalesce(s.n, 0) ASC,
+                                       g.cluster ASC) AS rn
+    FROM (
+      SELECT u.b AS vid, o.cluster, count(*) AS votes
+      FROM o{j-1} o JOIN und u ON o.vid = u.a
+      GROUP BY u.b, o.cluster
+    ) g
+    LEFT JOIN (SELECT cluster, count(*) AS n FROM o{j-1} GROUP BY cluster) s
+      ON s.cluster = g.cluster
+  ) WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"""o{j} AS MATERIALIZED (
+  SELECT v.vid, CAST(coalesce(r.cluster, o.cluster) AS INT) AS cluster
+  FROM allv v
+  LEFT JOIN r{j} r ON r.vid = v.vid
+  LEFT JOIN o{j-1} o ON o.vid = v.vid
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT vid, cluster FROM o{refine_rounds}"
+    )
+
+
 SPANNING_FOREST_STATS_SQL = f"""
 WITH RECURSIVE e AS ({CS_EDGES_SQL}),
 und AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
@@ -646,12 +737,15 @@ def _q_spanning_forest_stats_cs(spark: SparkSession, sf: str) -> DataFrame:
 
 def _q_kmeans_partition_cs(spark: SparkSession, sf: str) -> DataFrame:
     """Balanced k-way partitioning minimizing edge crossings (KMeans.java
-    semantics). Rows-only: seeds/fallback are xxhash64-derived; pytest
-    asserts coverage, determinism, and crossings < random baseline."""
+    semantics), deterministic mod-k strata mode — every seed-selection,
+    growth, and refine round is replayed by the unrolled SQL oracle."""
     from goffish_v3_spark.operators.kmeans_partition import kmeans_partition
 
     e = customer_supplier_edges(spark, sf)
-    return kmeans_partition(spark, e, k=4)
+    return kmeans_partition(
+        spark, e, k=KMEANS_K, max_rounds=KMEANS_GROWTH_ROUNDS,
+        refine_rounds=KMEANS_REFINE_ROUNDS, id_strata=True,
+    )
 
 
 def _q_subgraph_pagerank_cs(spark: SparkSession, sf: str) -> DataFrame:
@@ -944,6 +1038,7 @@ def oracle_sql() -> dict[str, str]:
         "core_numbers_copart": _core_numbers_sql(),
         "vertex_count_cs": VERTEX_COUNT_SQL,
         "spanning_forest_stats_cs": SPANNING_FOREST_STATS_SQL,
+        "kmeans_partition_cs": _kmeans_sql(),
         "meta_graph_cs": META_GRAPH_SQL,
         "meta_diameter_cs": META_DIAMETER_SQL,
         "subgraph_pagerank_cs": _pagerank_sql(),

@@ -45,15 +45,27 @@ def kmeans_partition(
     k: int = 4,
     max_rounds: int = 30,
     refine_rounds: int = 3,
+    id_strata: bool = False,
 ) -> DataFrame:
-    """Return ``(vid long, cluster int)`` covering every vertex."""
+    """Return ``(vid long, cluster int)`` covering every vertex.
+
+    ``id_strata`` swaps the xxhash64 stratum/fallback for ``pmod(vid, k)``
+    — same algorithm, but with a DuckDB-expressible seed so the oracle gate
+    can replay every growth and refine round as unrolled SQL CTEs (xxhash64
+    has no DuckDB twin; the mod-k variant is the same trick meta_graph uses).
+    """
+    stratum_of = (
+        (lambda c: F.pmod(c, F.lit(k)))
+        if id_strata
+        else (lambda c: F.pmod(F.xxhash64(c), F.lit(k)))
+    )
     und = _undirected(edges).persist()
     deg = und.groupBy("src").agg(F.count("*").alias("deg"))
 
     # phase 1 — deterministic seeds: max-degree vertex per hash stratum,
     # ties broken by vid (KMeans.java seed supersteps, reproducibly)
     seeds = (
-        deg.withColumn("stratum", F.pmod(F.xxhash64("src"), F.lit(k)).cast("int"))
+        deg.withColumn("stratum", stratum_of(F.col("src")).cast("int"))
         .groupBy("stratum")
         .agg(F.max(F.struct("deg", F.col("src").alias("vid"))).alias("m"))
         .select(F.col("m.vid").alias("vid"), F.col("stratum").alias("cluster"))
@@ -97,7 +109,7 @@ def kmeans_partition(
         .distinct()
     )
     rest = allv.join(labels, "vid", "left_anti").select(
-        "vid", F.pmod(F.xxhash64("vid"), F.lit(k)).cast("int").alias("cluster")
+        "vid", stratum_of(F.col("vid")).cast("int").alias("cluster")
     )
     out = labels.unionByName(rest).localCheckpoint(eager=True)
 
