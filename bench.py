@@ -115,6 +115,10 @@ def main() -> None:
         from goffish_v3_spark.operators.kcore import k_core
 
         k_core(spark, cp, k=3).count()
+    with timed("core_numbers_copart"):
+        from goffish_v3_spark.operators.kcore import core_numbers
+
+        core_numbers(spark, cp, num_parts=CPUS).count()
     extra["copart_edges"] = n_cp
     cp.unpersist()
     cs.unpersist()

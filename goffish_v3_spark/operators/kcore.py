@@ -13,8 +13,12 @@ differing only in local scheduling; we ship one distributed implementation
   KCore.java:91-99 ``localEstimate`` — SURVEY §4 P3) with remote neighbours'
   estimates pinned at their last received values;
 - boundary estimates are exchanged once per superstep, pre-deduplicated per
-  (neighbour partition, vertex) before the shuffle (the reference's
-  changed-core message bundling, KCore.java:101-109);
+  (neighbour partition, vertex) before the shuffle, and — like the
+  reference, which sends only *changed* cores (KCore.java:101-109) — the
+  full decomposition sends O(changed) messages per superstep: each partition
+  keeps a shadow of the last-received remote estimates (kind=3 rows riding
+  its own state channel, never crossing partitions) and senders emit a
+  boundary vertex only when its estimate moved this superstep;
 - global halt when no estimate changed anywhere (driver-side gate).
 
 The h-index operator (new_est = min(est, H(neighbour estimates)) where H is
@@ -84,7 +88,10 @@ _EMPTY_OUT = {"part": "int32", "kind": "int32", "vid": "int64", "a": "int64"}
 
 
 def _make_kernel(
-    superstep: int, cap: int | None = None, blocks_path: str | None = None
+    superstep: int,
+    cap: int | None = None,
+    blocks_path: str | None = None,
+    changed_only: bool = False,
 ):
     """``cap`` caps estimates at k: the capped iteration converges to
     min(core, k) — distributed peeling for a fixed k. Cascades stop as soon
@@ -94,19 +101,32 @@ def _make_kernel(
     ``blocks_path`` switches from cogrouped block shipping to the
     worker-local block cache (plans.block_cache): the kernel becomes a plain
     grouped map over state+messages and fetches its CSR block locally —
-    the reference's load-once-compute-many shape."""
+    the reference's load-once-compute-many shape.
+
+    ``changed_only`` sends O(changed) boundary estimates per superstep
+    instead of re-broadcasting the full boundary (the reference sends only
+    changed cores, KCore.java:101-109): each partition keeps a shadow of the
+    last-received remote estimates as kind=3 rows routed to itself. Exact —
+    estimates are monotone non-increasing, so an unsent value is still the
+    sender's current value."""
 
     def body(blk: CsrBlock, sm_pdf: pd.DataFrame) -> pd.DataFrame:
         n = blk.n_local
         deg = blk.out_degrees.astype(np.int64)
         if cap is not None:
             deg = np.minimum(deg, cap)
+        seg = np.repeat(np.arange(n, dtype=np.int64), blk.out_degrees)
+        remote_mask = blk.edge_dst_local < 0
+        shadow_vid = np.empty(0, dtype=np.int64)
+        shadow_val = np.empty(0, dtype=np.int64)
 
         if superstep == 0:
             # seed: est = degree (KCore.java:46-55); no update yet — remote
-            # estimates are unknown until the first exchange lands
+            # estimates are unknown until the first exchange lands. The first
+            # exchange is always FULL so receivers can seed their shadows.
             est = deg
             changed = np.int64(n)  # force ≥1 more round
+            send_edge_mask = remote_mask
         else:
             state_rows = sm_pdf[sm_pdf["kind"] == 0]
             msg_rows = sm_pdf[sm_pdf["kind"] == 1]
@@ -114,34 +134,62 @@ def _make_kernel(
             idx = blk.align(state_rows["vid"].to_numpy(dtype=np.int64))
             est[idx] = state_rows["a"].to_numpy(dtype=np.int64)
             prev = est.copy()
-            # remote estimate per edge: every neighbour partition re-sends its
-            # full boundary estimates each superstep, so lookup is total
-            remote_est = np.zeros(len(blk.edge_dst_vid), dtype=np.int64)
-            remote_mask = blk.edge_dst_local < 0
-            if remote_mask.any() and len(msg_rows):
+
+            if changed_only:
+                # merge shadows with fresh messages; a vid appears at most
+                # once per source (one owner per vid), stable sort keeps the
+                # fresh message LAST so it overrides the shadow
+                sh_rows = sm_pdf[sm_pdf["kind"] == 3]
+                svid = np.concatenate(
+                    [
+                        sh_rows["vid"].to_numpy(dtype=np.int64),
+                        msg_rows["vid"].to_numpy(dtype=np.int64),
+                    ]
+                )
+                sval = np.concatenate(
+                    [
+                        sh_rows["a"].to_numpy(dtype=np.int64),
+                        msg_rows["a"].to_numpy(dtype=np.int64),
+                    ]
+                )
+                order = np.argsort(svid, kind="stable")
+                svid, sval = svid[order], sval[order]
+                if len(svid):
+                    keep = np.concatenate((svid[1:] != svid[:-1], [True]))
+                    shadow_vid, shadow_val = svid[keep], sval[keep]
+                lookup_vid, lookup_val = shadow_vid, shadow_val
+            else:
                 mvid = msg_rows["vid"].to_numpy(dtype=np.int64)
                 mval = msg_rows["a"].to_numpy(dtype=np.int64)
                 morder = np.argsort(mvid, kind="stable")
-                mvid, mval = mvid[morder], mval[morder]
+                lookup_vid, lookup_val = mvid[morder], mval[morder]
+
+            remote_est = np.zeros(len(blk.edge_dst_vid), dtype=np.int64)
+            if remote_mask.any():
                 want = blk.edge_dst_vid[remote_mask]
-                pos = np.searchsorted(mvid, want)
-                pos = np.minimum(pos, len(mvid) - 1)
-                if not np.array_equal(mvid[pos], want):
+                if len(lookup_vid) == 0:
+                    raise RuntimeError(
+                        f"kcore part {blk.part}: no boundary estimates received"
+                    )
+                pos = np.minimum(np.searchsorted(lookup_vid, want), len(lookup_vid) - 1)
+                if not np.array_equal(lookup_vid[pos], want):
                     raise RuntimeError(
                         f"kcore part {blk.part}: missing boundary estimate rows"
                     )
-                remote_est[remote_mask] = mval[pos]
+                remote_est[remote_mask] = lookup_val[pos]
             est = _local_hindex_fixpoint(blk, est, remote_est)
-            changed = np.int64(np.count_nonzero(est != prev))
+            changed_mask = est != prev
+            changed = np.int64(np.count_nonzero(changed_mask))
+            send_edge_mask = (
+                remote_mask & changed_mask[seg] if changed_only else remote_mask
+            )
 
-        # boundary exchange: send each boundary vertex's estimate to every
-        # partition that references it (its remote neighbours' owners) —
-        # dedup'd per (dst_part, vid) before the shuffle
-        seg = np.repeat(np.arange(n, dtype=np.int64), blk.out_degrees)
-        remote_mask = blk.edge_dst_local < 0
-        if remote_mask.any():
+        # boundary exchange: send each (changed) boundary vertex's estimate
+        # to every partition that references it — dedup'd per (dst_part, vid)
+        # before the shuffle
+        if send_edge_mask.any():
             pairs = np.stack(
-                [blk.edge_dst_part[remote_mask].astype(np.int64), seg[remote_mask]],
+                [blk.edge_dst_part[send_edge_mask].astype(np.int64), seg[send_edge_mask]],
                 axis=1,
             )
             uniq = np.unique(pairs, axis=0)
@@ -152,12 +200,14 @@ def _make_kernel(
             msg_vidx = np.empty(0, dtype=np.int64)
 
         n_msg = len(msg_part)
+        n_sh = len(shadow_vid)
         return pd.DataFrame(
             {
                 "part": np.concatenate(
                     [
                         np.full(n, blk.part, dtype=np.int32),
                         msg_part,
+                        np.full(n_sh, blk.part, dtype=np.int32),
                         np.array([blk.part], dtype=np.int32),
                     ]
                 ),
@@ -165,13 +215,21 @@ def _make_kernel(
                     [
                         np.zeros(n, dtype=np.int32),
                         np.ones(n_msg, dtype=np.int32),
+                        np.full(n_sh, 3, dtype=np.int32),
                         np.array([2], dtype=np.int32),
                     ]
                 ),
                 "vid": np.concatenate(
-                    [blk.local_vids, blk.local_vids[msg_vidx], np.array([-1], dtype=np.int64)]
+                    [
+                        blk.local_vids,
+                        blk.local_vids[msg_vidx],
+                        shadow_vid,
+                        np.array([-1], dtype=np.int64),
+                    ]
                 ),
-                "a": np.concatenate([est, est[msg_vidx], np.array([changed], dtype=np.int64)]),
+                "a": np.concatenate(
+                    [est, est[msg_vidx], shadow_val, np.array([changed], dtype=np.int64)]
+                ),
             }
         )
 
@@ -191,8 +249,14 @@ def _make_kernel(
 
         blk = load_block(blocks_path, int(key[0]))
         if blk is None:
-            return pd.DataFrame({"part": [], "kind": [], "vid": [], "a": []}).astype(
-                _EMPTY_OUT
+            # a state/seed/message row for this part implies its block was
+            # written — a silent empty return here would halt the loop with
+            # an EMPTY result on any cluster whose executors can't see
+            # blocks_path (ADVICE)
+            raise RuntimeError(
+                f"CSR block for part {int(key[0])} not found under "
+                f"{blocks_path}; on a multi-executor cluster pass blocks_dir= "
+                "on storage visible to every executor"
             )
         return body(blk, sm_pdf)
 
@@ -206,46 +270,67 @@ def _hindex_loop(
     max_iter: int,
     blocks_path: str | None = None,
     parts: list[int] | None = None,
+    changed_only: bool = False,
+    chain_every: int = 1,
 ) -> tuple[DataFrame, DataFrame]:
     """Drive the kernel to global fixpoint; returns (final kind-0 state,
-    final kind-1 messages — fixpoint boundary estimates).
+    final kind-1 messages — fixpoint boundary estimates; only total under
+    ``changed_only=False``, which the finalize pass relies on).
 
     With ``blocks_path`` the loop runs in block-cache mode: supersteps are a
     grouped map over state+messages only (kind=-1 seed rows bootstrap every
     partition at superstep 0); blocks never re-enter the shuffle/Arrow
-    channel after the one-time write."""
-    state = spark.createDataFrame([], OUT_SCHEMA)
-    msgs = spark.createDataFrame([], OUT_SCHEMA)
+    channel after the one-time write.
+
+    ``chain_every`` runs that many supersteps lazily inside ONE Spark job,
+    materializing (and reading the changed-count Observation) only at chain
+    boundaries: each inner step references the previous step's output once,
+    so the plan grows linearly. The per-superstep serial tax (driver round
+    trip + checkpoint) is paid once per chain; the fixpoint may overshoot by
+    up to chain_every−1 no-op steps, which send no messages and cost only
+    their intra-job pass."""
+    carry = spark.createDataFrame([], OUT_SCHEMA)
     if blocks_path is not None:
         seed = spark.createDataFrame(
             [(int(p), -1, -1, 0) for p in parts], OUT_SCHEMA
         )
+    step = 0
     with no_aqe(spark):
-        for i in range(max_iter):
-            kernel = _make_kernel(i, cap=cap, blocks_path=blocks_path)
-            mixed = state.unionByName(msgs)
-            if blocks_path is None:
-                out = (
-                    blocks.groupby("part")
-                    .cogroup(mixed.groupby("part"))
-                    .applyInPandas(kernel, schema=OUT_SCHEMA)
+        while step < max_iter:
+            chain = max(1, min(chain_every, max_iter - step))
+            mixed = carry
+            out = None
+            for j in range(chain):
+                i = step + j
+                kernel = _make_kernel(
+                    i, cap=cap, blocks_path=blocks_path, changed_only=changed_only
                 )
-            else:
-                if i == 0:
-                    mixed = mixed.unionByName(seed)
-                out = mixed.groupby("part").applyInPandas(kernel, schema=OUT_SCHEMA)
-            # changed-count rides the checkpoint materialization — one job
-            # per superstep, like the PageRank ε-gate
-            obs = Observation(f"kcore_step_{i}")
+                if blocks_path is None:
+                    out = (
+                        blocks.groupby("part")
+                        .cogroup(mixed.groupby("part"))
+                        .applyInPandas(kernel, schema=OUT_SCHEMA)
+                    )
+                else:
+                    if i == 0:
+                        mixed = mixed.unionByName(seed)
+                    out = mixed.groupby("part").applyInPandas(kernel, schema=OUT_SCHEMA)
+                if j < chain - 1:
+                    mixed = out.filter(F.col("kind") != 2)
+            # changed-count (of the chain's LAST step) rides the checkpoint
+            # materialization — one job per chain, like the PageRank ε-gate;
+            # changed == 0 in any step implies global fixpoint (monotone)
+            obs = Observation(f"kcore_chain_{step}")
             out = out.observe(
                 obs, F.sum(F.when(F.col("kind") == 2, F.col("a"))).alias("changed")
             ).localCheckpoint(eager=True)
-            state = out.filter(F.col("kind") == 0)
-            msgs = out.filter(F.col("kind") == 1)
+            # state + messages + shadows all feed the next superstep
+            carry = out.filter(F.col("kind") != 2)
+            step += chain
             changed = obs.get["changed"]
-            if i >= 1 and (changed or 0) == 0:
+            if step >= 2 and (changed or 0) == 0:
                 break
-    return state, msgs
+    return carry.filter(F.col("kind") == 0), carry.filter(F.col("kind") == 1)
 
 
 def core_numbers(
@@ -254,6 +339,9 @@ def core_numbers(
     num_parts: int | None = None,
     max_iter: int = 1000,
     cache_blocks: bool = True,
+    blocks_dir: str | None = None,
+    changed_only: bool = True,
+    chain_every: int = 8,
 ) -> DataFrame:
     """``(vid long, core long)`` for every vertex of the undirected simple
     graph induced by ``edges`` (self-loops ignored).
@@ -261,32 +349,42 @@ def core_numbers(
     ``cache_blocks`` (default) writes the CSR blocks once and serves them
     from the worker-local cache across the (many) global rounds of the full
     decomposition, instead of re-shipping every block through Arrow each
-    superstep."""
+    superstep. ``blocks_dir`` points the block store at executor-visible
+    storage — REQUIRED on a multi-executor cluster (a driver-local tempdir
+    is only valid in local mode and is enforced in
+    plans.block_cache.resolve_blocks_dir); when given, the directory is kept
+    (it doubles as the block checkpoint). ``changed_only`` (default) sends
+    only estimates that moved this superstep (KCore.java:101-109), with
+    receiver-side shadows of the last-received values."""
     if num_parts is None:
         num_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     blocks = build_csr_blocks_sym(spark, edges, num_parts)
     if cache_blocks:
         import shutil
-        import tempfile
 
-        from goffish_v3_spark.plans.block_cache import write_blocks
+        from goffish_v3_spark.plans.block_cache import resolve_blocks_dir, write_blocks
 
-        path = tempfile.mkdtemp(prefix="goffish_csr_")
+        path, owned = resolve_blocks_dir(spark, blocks_dir)
         try:
             write_blocks(blocks, path)
             parts = [r.part for r in blocks.select("part").collect()]
             blocks.unpersist()
             state, _ = _hindex_loop(
                 spark, blocks, cap=None, max_iter=max_iter,
-                blocks_path=path, parts=parts,
+                blocks_path=path, parts=parts, changed_only=changed_only,
+                chain_every=chain_every,
             )
             result = state.select("vid", F.col("a").alias("core")).localCheckpoint(
                 eager=True
             )
         finally:
-            shutil.rmtree(path, ignore_errors=True)
+            if owned:
+                shutil.rmtree(path, ignore_errors=True)
         return result
-    state, _ = _hindex_loop(spark, blocks, cap=None, max_iter=max_iter)
+    state, _ = _hindex_loop(
+        spark, blocks, cap=None, max_iter=max_iter, changed_only=changed_only,
+        chain_every=chain_every,
+    )
     result = state.select("vid", F.col("a").alias("core")).localCheckpoint(eager=True)
     blocks.unpersist()
     return result

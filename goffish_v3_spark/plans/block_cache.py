@@ -46,6 +46,31 @@ _FIELDS = (
 )
 
 
+def resolve_blocks_dir(spark, blocks_dir: str | None, prefix: str = "goffish_csr_"):
+    """Pick the block-store path; returns ``(path, owned)`` where ``owned``
+    means the caller created a tempdir and should remove it afterwards.
+
+    On a multi-executor cluster a driver-local tempdir is INVISIBLE to
+    executors — ``load_block`` would find nothing and every kernel would
+    fail — so with a non-local master an explicit ``blocks_dir`` on shared
+    storage (DFS / object store / shared FS) is required and this raises
+    loudly instead of mkdtemp-ing. A caller-supplied dir is never deleted:
+    it doubles as the block checkpoint for resume."""
+    if blocks_dir is not None:
+        return blocks_dir, False
+    master = spark.sparkContext.master or ""
+    if not master.startswith("local"):
+        raise ValueError(
+            f"cache_blocks on a multi-executor cluster (master={master!r}) "
+            "requires blocks_dir= on storage visible to every executor "
+            "(DFS/object store); a driver-local tempdir would make every "
+            "block load fail"
+        )
+    import tempfile
+
+    return tempfile.mkdtemp(prefix=prefix), True
+
+
 def write_blocks(blocks: DataFrame, path: str) -> None:
     """Persist CSR blocks partitioned by ``part`` (one 1-row file each).
 
@@ -55,25 +80,45 @@ def write_blocks(blocks: DataFrame, path: str) -> None:
     blocks.write.mode("overwrite").partitionBy("part").parquet(path)
 
 
+def _block_files(path: str, part: int):
+    """List the parquet file(s) for one partition; supports plain paths and
+    URI schemes (hdfs://, s3://, …) via pyarrow.fs so executors on a real
+    cluster can read a DFS block store."""
+    if "://" in path:
+        from pyarrow import fs as pafs
+
+        filesystem, base = pafs.FileSystem.from_uri(path)
+        sel = pafs.FileSelector(f"{base}/part={int(part)}", allow_not_found=True)
+        files = [
+            i.path
+            for i in filesystem.get_file_info(sel)
+            if i.path.endswith(".parquet")
+        ]
+        return filesystem, files
+
+    import glob
+    import os
+
+    return None, glob.glob(os.path.join(path, f"part={int(part)}", "*.parquet"))
+
+
 def load_block(path: str, part: int) -> CsrBlock | None:
     """Fetch the block for ``part`` — worker-process-local LRU cache over
-    the parquet store. Returns None if the partition has no block."""
+    the parquet store. Returns None if the partition has no block (callers
+    in superstep kernels should treat that as a hard error: any state or
+    seed row for a partition implies its block was written)."""
     key = (path, int(part))
     blk = _CACHE.get(key)
     if blk is not None:
         _CACHE.move_to_end(key)
         return blk
 
-    import glob
-    import os
-
     import pyarrow.parquet as pq
 
-    d = os.path.join(path, f"part={int(part)}")
-    files = glob.glob(os.path.join(d, "*.parquet"))
+    filesystem, files = _block_files(path, part)
     if not files:
         return None
-    tbl = pq.read_table(files[0])
+    tbl = pq.read_table(files[0], filesystem=filesystem)
     row = {name: tbl.column(name)[0].as_py() for name in _FIELDS}
     row["part"] = int(part)
     blk = CsrBlock(row)
