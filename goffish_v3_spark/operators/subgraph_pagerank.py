@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from goffish_v3_spark.plans.csr import CsrBlock, build_csr_blocks
@@ -267,7 +267,13 @@ def _csr_loop(
             .cogroup(mixed.groupby("part"))
             .applyInPandas(kernel, schema=OUT_SCHEMA)
         )
-        out = out.localCheckpoint(eager=True)
+        # the ε-gate's max-delta rides the checkpoint materialization as an
+        # Observation — ONE Spark job per superstep (the kcore/sssp pattern),
+        # not a second collect() job over the kind=2 rows
+        obs = Observation(f"csr_pr_step_{i}")
+        out = out.observe(
+            obs, F.max(F.when(F.col("kind") == 2, F.col("a"))).alias("delta")
+        ).localCheckpoint(eager=True)
         state = out.filter(F.col("kind") == 0)
         msgs = (
             out.filter(F.col("kind") == 1)
@@ -276,7 +282,7 @@ def _csr_loop(
             .select("part", "kind", "vid", "a", "b")
         )
         if fixed_iterations is None:
-            delta = out.filter(F.col("kind") == 2).agg(F.max("a")).collect()[0][0]
+            delta = obs.get["delta"]
             if delta is not None and delta <= eps:
                 break
 

@@ -136,6 +136,37 @@ def test_csr_fixed_iterations_matches_df_fixed(spark):
     assert mx < 1e-12
 
 
+def test_csr_eps_mode_one_job_per_superstep(spark):
+    """The ε-gate's max-delta must ride the per-superstep checkpoint as an
+    Observation — a separate collect() job per superstep would double the
+    loop's job count (VERDICT r2)."""
+    from goffish_v3_spark.plans.csr import build_csr_blocks
+
+    df = graphs.to_df(spark, graphs.barabasi_albert(100, m=2, seed=7))
+    sc = spark.sparkContext
+    # build blocks OUTSIDE the job group — block construction alone costs ~6
+    # jobs and would drown the per-superstep signal we're gating on
+    blocks = build_csr_blocks(spark, df, 4)
+    sc.setJobGroup("csr_pr_job_count", "one job per superstep")
+    try:
+        res = csr_pagerank(
+            spark, df, num_parts=4, eps=0.0, max_iter=12, blocks=blocks
+        )
+        supersteps = res.pr_supersteps
+    finally:
+        sc.setJobGroup("", "")
+    njobs = len(sc.statusTracker().getJobIdsForGroup("csr_pr_job_count"))
+    blocks.unpersist()
+    # the 100-vertex BA graph converges to an exact 0.0 delta around step 10,
+    # so the loop may legitimately stop one step shy of max_iter — pin only a
+    # floor, the job-count bound below is the actual regression gate
+    assert 8 <= supersteps <= 12
+    # fixed jobs inside the group: N agg, init-state checkpoint, final-result
+    # checkpoint (+1 slack); a collect-per-superstep loop would put njobs at
+    # ~2x supersteps + setup
+    assert supersteps <= njobs <= supersteps + 4, (supersteps, njobs)
+
+
 def test_csr_dedups_multi_edges_like_dataframe_pagerank(spark):
     """Review finding: duplicate edge rows must not double out-degrees or
     contributions in the CSR path."""
