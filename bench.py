@@ -146,6 +146,29 @@ def main() -> None:
         scores.count()
     g_edges.unpersist()
 
+    # ---- out-degree hub twin: the skew axis src-hash partitioning cannot
+    # absorb (one SMJ task owns the hub's whole adjacency). Salting must WIN
+    # here, not just break even — the in-degree-hub repo graph above shows
+    # salted ≈ unsalted, this shows the measured upside.
+    from goffish_v3_spark.sources.synthetic import generate_hub_out_edges
+
+    hub_edges = generate_hub_out_edges(spark).persist()
+    n_hub_edges = hub_edges.count()
+    with timed("hub_pagerank_5it"):
+        scores, _ = pagerank_with_info(spark, hub_edges, fixed_iterations=5)
+        scores.count()
+    with timed("hub_pagerank_5it_salted"):
+        scores, _ = pagerank_with_info(
+            spark, hub_edges, fixed_iterations=5,
+            salt_threshold=100_000, num_salts=32,
+        )
+        scores.count()
+    extra["hub_edges"] = n_hub_edges
+    extra["hub_salting_speedup"] = round(
+        timings["hub_pagerank_5it"] / timings["hub_pagerank_5it_salted"], 3
+    )
+    hub_edges.unpersist()
+
     # ---- training-data pipeline suite ------------------------------------
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     with timed("doc_quality"):

@@ -56,13 +56,16 @@ def pagerank_with_info(
     updates (used by SQL-oracle comparisons, which unroll a fixed count).
 
     ``salt_threshold`` enables explicit hub salting (north_rule, SURVEY §4
-    P13): destinations whose in-degree exceeds the threshold are found once
-    up front (plans.partitioner.heavy_keys) and their contribution sums go
-    through the two-stage salted aggregation — per-reducer fan-in for a hub
-    is bounded by ``num_salts`` × mappers regardless of its in-degree. Cold
-    keys keep the plain one-stage path. Results are identical either way
-    (sums reassociate); composes with AQE skew splitting, which handles
-    moderate skew without being asked.
+    P13) on both skew axes, folded into one salt-annotated adjacency at
+    setup: destinations whose in-degree exceeds the threshold get a
+    two-stage salted contribution aggregation (per-reducer fan-in bounded by
+    ``num_salts`` × mappers regardless of in-degree), and sources whose
+    out-degree exceeds it get a join salt — their state row is replicated
+    across ``num_salts`` so the hub's adjacency, which plain src-hash
+    partitioning would hand to ONE sort-merge-join task, spreads over
+    ``num_salts`` tasks. Cold keys keep the plain path (salt 0). Results are
+    identical either way (sums reassociate) and the step still references
+    state exactly once, so superstep chaining stays legal.
 
     ``dense_ids`` remaps the (64-bit, xxhash64-range) vertex ids to dense
     int32 before the loop and back after: every per-superstep row (adjacency
@@ -126,13 +129,15 @@ def pagerank_with_info(
     # (large) adjacency side — only the (small) state side shuffles per
     # superstep. Measured 4.5× per-superstep at 5.5M edges/32 cores.
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    adj = (
-        e.join(outdeg, "src")
-        .repartition(n_shuffle, "src")
-        .sortWithinPartitions("src")
-        .persist()
-    )
-    adj.count()
+    adj_plan = e.join(outdeg, "src")
+    adj = None
+    if salt_threshold is None:
+        adj = (
+            adj_plan.repartition(n_shuffle, "src")
+            .sortWithinPartitions("src")
+            .persist()
+        )
+        adj.count()
 
     # static vertex dimension, pre-partitioned + sorted like adj: in fixed-
     # iteration mode the rank update depends ONLY on the contributions
@@ -151,29 +156,71 @@ def pagerank_with_info(
     else:
         init_src = vertices
 
-    # hub pre-pass for explicit salting: one aggregation scan finds the hot
-    # destinations, then the adjacency is split ONCE into persisted hot/cold
-    # slices (both pre-shuffled+sorted on src like adj) — the per-superstep
-    # plan pays no hot-key filtering, only the extra (tiny) hot aggregation
-    adj_hot = adj_cold = None
+    # hub pre-pass for explicit salting. Both skew axes are folded into ONE
+    # salt-annotated adjacency at setup so the per-superstep plan references
+    # the state exactly once (that is what keeps superstep chaining legal —
+    # a step whose plan reads state twice doubles per chained step and
+    # Catalyst analysis goes exponential):
+    #   asalt — dst IN-degree hubs ("stdlib imported by millions"): their
+    #     contribution sum goes through a two-stage groupBy(dst, asalt) →
+    #     groupBy(dst) aggregation, bounding per-reducer fan-in by num_salts
+    #     × mappers regardless of in-degree (north_rule explicit salting).
+    #   jsalt — src OUT-degree hubs: partitioned by src alone, a hub's whole
+    #     adjacency lands in ONE sort-merge-join task (the measurable
+    #     straggler). The hub's (tiny) state row is replicated across all
+    #     num_salts via an explode, so the join key (src, jsalt) spreads its
+    #     edges over num_salts tasks.
+    # Results are identical either way (sums reassociate); composes with AQE
+    # skew splitting, which handles moderate skew without being asked.
+    adj_s = None
+    hot_src_list: list[int] = []
     if salt_threshold is not None:
         from goffish_v3_spark.plans.partitioner import heavy_keys
 
-        hot = F.broadcast(heavy_keys(e, "dst", salt_threshold))
-        adj_hot = (
-            adj.join(hot, "dst", "left_semi")
-            .repartition(n_shuffle, "src")
-            .sortWithinPartitions("src")
+        hot_dst = F.broadcast(
+            heavy_keys(e, "dst", salt_threshold).withColumnRenamed("dst", "_hd")
+        )
+        hot_src_list = [
+            r["src"]
+            for r in outdeg.filter(F.col("deg") > salt_threshold)
+            .select("src")
+            .collect()
+        ]
+        if len(hot_src_list) > 10_000:
+            raise ValueError(
+                f"{len(hot_src_list)} out-degree hubs above salt_threshold="
+                f"{salt_threshold}; raise the threshold — the hub list is "
+                "embedded in the plan and must stay small"
+            )
+        if hot_src_list:
+            jsalt = (
+                F.when(
+                    F.col("src").isin(hot_src_list),
+                    F.pmod(F.xxhash64("dst"), F.lit(num_salts)),
+                )
+                .otherwise(F.lit(0))
+                .cast("int")
+            )
+        else:
+            jsalt = F.lit(0).cast("int")
+        asalt = (
+            F.when(
+                F.col("_hd").isNotNull(),
+                F.pmod(F.xxhash64("src"), F.lit(num_salts)),
+            )
+            .otherwise(F.lit(0))
+            .cast("int")
+        )
+        # built straight from the un-materialized adjacency plan — salted
+        # mode persists ONE adjacency (adj_s), not adj + adj_s
+        adj_s = (
+            adj_plan.join(hot_dst, adj_plan.dst == F.col("_hd"), "left")
+            .select("src", "dst", "deg", jsalt.alias("jsalt"), asalt.alias("asalt"))
+            .repartition(n_shuffle, "src", "jsalt")
+            .sortWithinPartitions("src", "jsalt")
             .persist()
         )
-        adj_cold = (
-            adj.join(hot, "dst", "left_anti")
-            .repartition(n_shuffle, "src")
-            .sortWithinPartitions("src")
-            .persist()
-        )
-        adj_hot.count()
-        adj_cold.count()
+        adj_s.count()
 
     # sever the (possibly expensive) upstream plan from the iterative loop
     init = init_src.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
@@ -181,7 +228,7 @@ def pagerank_with_info(
     base = (1.0 - alpha) / n
 
     def step(state: DataFrame, i: int) -> StepResult:
-        if adj_hot is None:
+        if adj_s is None:
             contrib = (
                 state.join(adj, state.vid == adj.src)
                 .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
@@ -189,21 +236,28 @@ def pagerank_with_info(
                 .agg(F.sum("c").alias("s"))
             )
         else:
-            from goffish_v3_spark.plans.partitioner import salted_agg_sum
-
-            cold = (
-                state.join(adj_cold, state.vid == adj_cold.src)
-                .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            # one state reference: hub states replicated across jsalt by an
+            # explode, then a single (src, jsalt) join against the salted
+            # adjacency and the two-stage (dst, asalt) → dst aggregation
+            if hot_src_list:
+                salt_arr = F.when(
+                    F.col("vid").isin(hot_src_list),
+                    F.sequence(F.lit(0), F.lit(num_salts - 1)),
+                ).otherwise(F.array(F.lit(0)))
+                state_exp = state.withColumn("jsalt", F.explode(salt_arr))
+            else:
+                state_exp = state.withColumn("jsalt", F.lit(0).cast("int"))
+            contrib = (
+                state_exp.join(
+                    adj_s,
+                    (state_exp.vid == adj_s.src) & (state_exp.jsalt == adj_s.jsalt),
+                )
+                .select("dst", "asalt", (F.col("rank") / F.col("deg")).alias("c"))
+                .groupBy("dst", "asalt")
+                .agg(F.sum("c").alias("_p"))
                 .groupBy("dst")
-                .agg(F.sum("c").alias("s"))
+                .agg(F.sum("_p").alias("s"))
             )
-            hot_rows = state.join(adj_hot, state.vid == adj_hot.src).select(
-                "src", "dst", (F.col("rank") / F.col("deg")).alias("c")
-            )
-            salted = salted_agg_sum(
-                hot_rows, "dst", "c", "s", num_salts=num_salts, salt_from="src"
-            )
-            contrib = cold.unionByName(salted)
         if fixed_iterations is not None:
             new_state = vdim.join(contrib, vdim.vid == contrib.dst, "left").select(
                 "vid",
@@ -211,16 +265,13 @@ def pagerank_with_info(
             )
             done = i + 1 >= fixed_iterations
             # chain supersteps into one job, materializing only at chain
-            # boundaries: each superstep references the previous state once,
-            # so the lazy plan grows linearly, and the per-superstep serial
-            # cost (driver round-trip + checkpoint pass — measured ~7 s/step
-            # at 55M edges regardless of cores) is paid once per chain
-            # instead of once per superstep.
-            # Salted steps reference state TWICE (hot+cold branches) — the
-            # plan would double per chained step (Catalyst analysis goes
-            # exponential), so they materialize every superstep.
-            eff_chain = 1 if adj_hot is not None else chain_every
-            materialized = done or (i + 1) % eff_chain == 0
+            # boundaries: each superstep references the previous state once
+            # (including the salted path — see the setup comment), so the
+            # lazy plan grows linearly, and the per-superstep serial cost
+            # (driver round-trip + checkpoint pass — measured ~7 s/step at
+            # 55M edges regardless of cores) is paid once per chain instead
+            # of once per superstep.
+            materialized = done or (i + 1) % chain_every == 0
             if materialized:
                 new_state = new_state.localCheckpoint(eager=True)
             # truncated reflects what actually happened (ADVICE): the loop's
@@ -254,10 +305,10 @@ def pagerank_with_info(
         truncate_every=(chain_every if fixed_iterations is not None else 1),
     )
     info = loop.run(init, step, resume=resume)
-    adj.unpersist()
-    if adj_hot is not None:
-        adj_hot.unpersist()
-        adj_cold.unpersist()
+    if adj is not None:
+        adj.unpersist()
+    if adj_s is not None:
+        adj_s.unpersist()
     if vdim is not None:
         vdim.unpersist()
     scores = info.state
