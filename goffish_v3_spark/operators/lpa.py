@@ -21,10 +21,13 @@ argmax via ``max(struct(cnt, -label))`` — all JVM-side, partial-agg friendly.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from goffish_v3_spark.plans.superstep import StepResult, SuperstepLoop
+from goffish_v3_spark.plans.csr import CsrBlock, build_csr_blocks_sym
+from goffish_v3_spark.plans.superstep import StepResult, SuperstepLoop, no_aqe
 
 
 def _symmetrize(edges: DataFrame) -> DataFrame:
@@ -110,3 +113,254 @@ def lpa(
     info = loop.run(init, step, resume=resume)
     und.unpersist()
     return info.state
+
+
+# ---------------------------------------------------------------------------
+# Subgraph-centric LPA over CSR blocks (engine-shape parity, SURVEY §4 P3)
+# ---------------------------------------------------------------------------
+
+LPA_SCHEMA = "part int, kind int, vid long, a long"
+
+
+def _local_mode_fixpoint(
+    blk: CsrBlock,
+    label: np.ndarray,
+    remote_label: np.ndarray,
+    max_sweeps: int,
+) -> np.ndarray:
+    """Synchronous mode-propagation sweeps over one block to local fixpoint,
+    with remote neighbours pinned at ``remote_label`` (per-edge values, only
+    read where ``edge_dst_local < 0``).
+
+    Each sweep is the DataFrame variant's round restricted to the block:
+    every local vertex adopts the most frequent neighbour label, tie → the
+    smallest. Fully vectorized (one lexsort + run-length mode per sweep).
+
+    Synchronous LPA can 2-cycle (bipartite flip); on detecting ``new ==
+    state-two-sweeps-ago`` the sweep loop stops at the lexicographically
+    smaller of the two cycle states — deterministic and independent of the
+    phase at which the cycle was entered."""
+    indptr = blk.indptr
+    n = blk.n_local
+    n_edges = len(blk.edge_dst_vid)
+    if n == 0 or n_edges == 0:
+        return label
+    deg = np.diff(indptr)
+    seg = np.repeat(np.arange(n, dtype=np.int64), deg)
+    local_idx = blk.edge_dst_local
+    is_local = local_idx >= 0
+    nv = np.empty(n_edges, dtype=np.int64)
+    nv[~is_local] = remote_label[~is_local]
+    prev = None
+    for _ in range(max_sweeps):
+        nv[is_local] = label[local_idx[is_local]]
+        order = np.lexsort((nv, seg))
+        seg_s, nv_s = seg[order], nv[order]
+        new_run = np.empty(n_edges, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (seg_s[1:] != seg_s[:-1]) | (nv_s[1:] != nv_s[:-1])
+        run_id = np.cumsum(new_run) - 1
+        cnt = np.bincount(run_id)
+        starts = np.flatnonzero(new_run)
+        run_seg, run_label = seg_s[starts], nv_s[starts]
+        # per segment: max count wins; runs are label-ascending within a
+        # segment and lexsort is stable, so first-per-segment after a
+        # -cnt sort is (max count, min label)
+        o2 = np.lexsort((-cnt, run_seg))
+        first = np.empty(len(o2), dtype=bool)
+        first[0] = True
+        first[1:] = run_seg[o2][1:] != run_seg[o2][:-1]
+        new_label = label.copy()
+        new_label[run_seg[o2][first]] = run_label[o2][first]
+        if np.array_equal(new_label, label):
+            break
+        if prev is not None and np.array_equal(new_label, prev):
+            # 2-cycle {label, new_label}: keep the lexicographically smaller
+            cmp = label != new_label
+            i0 = np.flatnonzero(cmp)[0]
+            label = label if label[i0] < new_label[i0] else new_label
+            break
+        prev = label
+        label = new_label
+    return label
+
+
+_LPA_EMPTY = {"part": "int32", "kind": "int32", "vid": "int64", "a": "int64"}
+
+
+def _make_lpa_kernel(superstep: int, max_local_sweeps: int):
+    """One superstep: merge shadows+messages, run the block to local mode
+    fixpoint, emit state (kind=0), changed-only boundary labels (kind=1),
+    refreshed shadows (kind=3, routed to self), and a changed count (kind=2).
+
+    Initial labels are ``label(v) = v`` (lpa() semantics), so a remote
+    neighbour with no shadow entry is KNOWN to still hold its own vid —
+    changed-only messaging therefore needs no full first exchange (unlike
+    kcore, whose degree seeds are not computable receiver-side)."""
+
+    def kernel(keys, csr_pdf: pd.DataFrame, sm_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(csr_pdf) == 0:
+            return pd.DataFrame({"part": [], "kind": [], "vid": [], "a": []}).astype(
+                _LPA_EMPTY
+            )
+        blk = CsrBlock(csr_pdf.iloc[0])
+        n = blk.n_local
+        seg = np.repeat(np.arange(n, dtype=np.int64), blk.out_degrees)
+        remote_mask = blk.edge_dst_local < 0
+        shadow_vid = np.empty(0, dtype=np.int64)
+        shadow_val = np.empty(0, dtype=np.int64)
+
+        if superstep == 0:
+            label = blk.local_vids.copy()
+        else:
+            state_rows = sm_pdf[sm_pdf["kind"] == 0]
+            label = np.empty(n, dtype=np.int64)
+            idx = blk.align(state_rows["vid"].to_numpy(dtype=np.int64))
+            label[idx] = state_rows["a"].to_numpy(dtype=np.int64)
+            msg_rows = sm_pdf[sm_pdf["kind"] == 1]
+            sh_rows = sm_pdf[sm_pdf["kind"] == 3]
+            # fresh messages override shadows (stable sort keeps them last)
+            svid = np.concatenate(
+                [
+                    sh_rows["vid"].to_numpy(dtype=np.int64),
+                    msg_rows["vid"].to_numpy(dtype=np.int64),
+                ]
+            )
+            sval = np.concatenate(
+                [
+                    sh_rows["a"].to_numpy(dtype=np.int64),
+                    msg_rows["a"].to_numpy(dtype=np.int64),
+                ]
+            )
+            order = np.argsort(svid, kind="stable")
+            svid, sval = svid[order], sval[order]
+            if len(svid):
+                keep = np.concatenate((svid[1:] != svid[:-1], [True]))
+                shadow_vid, shadow_val = svid[keep], sval[keep]
+        prev = label.copy()
+
+        # per-edge remote labels: shadow value, else the neighbour's own vid
+        # (its initial label — exact for never-changed vertices)
+        remote_label = np.zeros(len(blk.edge_dst_vid), dtype=np.int64)
+        if remote_mask.any():
+            want = blk.edge_dst_vid[remote_mask]
+            vals = want.copy()
+            if len(shadow_vid):
+                pos = np.minimum(np.searchsorted(shadow_vid, want), len(shadow_vid) - 1)
+                hit = shadow_vid[pos] == want
+                vals[hit] = shadow_val[pos[hit]]
+            remote_label[remote_mask] = vals
+
+        label = _local_mode_fixpoint(blk, label, remote_label, max_local_sweeps)
+        changed_mask = label != prev
+        changed = np.int64(np.count_nonzero(changed_mask))
+
+        send_edge_mask = remote_mask & changed_mask[seg]
+        if send_edge_mask.any():
+            pairs = np.stack(
+                [blk.edge_dst_part[send_edge_mask].astype(np.int64), seg[send_edge_mask]],
+                axis=1,
+            )
+            uniq = np.unique(pairs, axis=0)
+            msg_part = uniq[:, 0].astype(np.int32)
+            msg_vidx = uniq[:, 1]
+        else:
+            msg_part = np.empty(0, dtype=np.int32)
+            msg_vidx = np.empty(0, dtype=np.int64)
+
+        n_msg = len(msg_part)
+        n_sh = len(shadow_vid)
+        return pd.DataFrame(
+            {
+                "part": np.concatenate(
+                    [
+                        np.full(n, blk.part, dtype=np.int32),
+                        msg_part,
+                        np.full(n_sh, blk.part, dtype=np.int32),
+                        np.array([blk.part], dtype=np.int32),
+                    ]
+                ),
+                "kind": np.concatenate(
+                    [
+                        np.zeros(n, dtype=np.int32),
+                        np.ones(n_msg, dtype=np.int32),
+                        np.full(n_sh, 3, dtype=np.int32),
+                        np.array([2], dtype=np.int32),
+                    ]
+                ),
+                "vid": np.concatenate(
+                    [
+                        blk.local_vids,
+                        blk.local_vids[msg_vidx],
+                        shadow_vid,
+                        np.array([-1], dtype=np.int64),
+                    ]
+                ),
+                "a": np.concatenate(
+                    [label, label[msg_vidx], shadow_val, np.array([changed], dtype=np.int64)]
+                ),
+            }
+        )
+
+    return kernel
+
+
+def lpa_csr(
+    spark: SparkSession,
+    edges: DataFrame,
+    num_parts: int | None = None,
+    max_iter: int = 30,
+    max_local_sweeps: int = 10_000,
+    part_expr=None,
+) -> DataFrame:
+    """Subgraph-centric LPA: each superstep runs mode-propagation to local
+    fixpoint inside every CSR block (remote labels pinned at their
+    last-received values), then exchanges only the boundary labels that
+    changed — the engine shape of the reference's per-partition
+    local-compute-to-convergence programs (e.g. KCore.java:91-99,
+    SingleSourceShortestPath.java:407-536), applied to LPA.
+
+    Returns ``(vid long, label long)``. Labels are a valid LPA fixpoint but
+    (like any asynchronous-schedule LPA) NOT bit-identical to :func:`lpa`'s
+    synchronous rounds for a given partitioning other than 1 block; with
+    ``num_parts=1`` the local fixpoint IS full synchronous LPA and results
+    coincide on graphs that converge without 2-cycling (the cycle-breaker
+    picks the lexicographically smaller cycle state, where :func:`lpa` stops
+    wherever ``max_iter`` lands). Deterministic for a fixed partitioning.
+
+    Supersteps scale with how many blocks a label wave must cross, not the
+    round count of the wave itself: with a locality-aware ``part_expr`` a
+    depth-R propagation inside one block costs one superstep (asserted ≪
+    DataFrame rounds in tests/test_lpa.py). The result exposes
+    ``lpa_supersteps`` for introspection."""
+    if num_parts is None:
+        num_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    blocks = build_csr_blocks_sym(spark, edges, num_parts, part_expr=part_expr)
+
+    carry = spark.createDataFrame([], LPA_SCHEMA)
+    supersteps = 0
+    with no_aqe(spark):
+        for i in range(max_iter):
+            kernel = _make_lpa_kernel(i, max_local_sweeps)
+            out = (
+                blocks.groupby("part")
+                .cogroup(carry.groupby("part"))
+                .applyInPandas(kernel, schema=LPA_SCHEMA)
+            )
+            obs = Observation(f"lpa_csr_step_{i}")
+            out = out.observe(
+                obs, F.sum(F.when(F.col("kind") == 2, F.col("a"))).alias("changed")
+            ).localCheckpoint(eager=True)
+            carry = out.filter(F.col("kind") != 2)
+            supersteps = i + 1
+            if int(obs.get["changed"] or 0) == 0:
+                break
+
+    result = (
+        carry.filter(F.col("kind") == 0)
+        .select("vid", F.col("a").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    result.lpa_supersteps = supersteps
+    blocks.unpersist()
+    return result

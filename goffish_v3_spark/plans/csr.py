@@ -182,7 +182,11 @@ def _build_block_sym(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def build_csr_blocks_sym(
-    spark: SparkSession, edges: DataFrame, num_parts: int, persist: bool = True
+    spark: SparkSession,
+    edges: DataFrame,
+    num_parts: int,
+    persist: bool = True,
+    part_expr=None,
 ) -> DataFrame:
     """Symmetrized-graph CSR in ONE shuffle: edges(src, dst, w) → both
     directions tagged with the owner partition → groupBy(part) builder kernel
@@ -191,7 +195,9 @@ def build_csr_blocks_sym(
     The general :func:`build_csr_blocks` pays a groupBy(src,dst) dedup
     exchange plus a distinct vertex scan before the partition shuffle; for
     undirected algorithms (k-core, WCC-style) this builder collapses all of
-    that into the single partition exchange."""
+    that into the single partition exchange. ``part_expr`` overrides vertex
+    ownership as in :func:`build_csr_blocks` (locality-aware layouts)."""
+    part_of = part_expr or (lambda c: vertex_part(c, num_parts))
     e = edges.select("src", "dst", F.col("w").cast("double").alias("w")).filter(
         F.col("src") != F.col("dst")
     )
@@ -202,8 +208,8 @@ def build_csr_blocks_sym(
         "src",
         "dst",
         "w",
-        vertex_part(F.col("src"), num_parts).alias("part"),
-        vertex_part(F.col("dst"), num_parts).alias("dst_part"),
+        part_of(F.col("src")).alias("part"),
+        part_of(F.col("dst")).alias("dst_part"),
     )
     blocks = tagged.groupBy("part").applyInPandas(_build_block_sym, schema=CSR_SCHEMA)
     if persist:

@@ -1,8 +1,18 @@
-"""LPA: exact label match vs the synchronous deterministic oracle."""
+"""LPA: exact label match vs the synchronous deterministic oracle, plus the
+subgraph-centric CSR kernel (local mode fixpoint per block, P3)."""
 
-from goffish_v3_spark.operators.lpa import lpa
+from pyspark.sql import functions as F
+
+from goffish_v3_spark.operators.lpa import lpa, lpa_csr
 from tests import graphs
 from tests.oracles import lpa_oracle
+
+
+def anchored_chain(n: int) -> list[tuple[int, int]]:
+    """clique(3) on {0,1,2} + path 2-3-…-n: the clique anchors label 0, so
+    synchronous LPA propagates a 0-wave one hop per round (~n rounds) with no
+    bipartite oscillation — the high-diameter LPA fixture."""
+    return graphs.clique(3) + [(i, i + 1) for i in range(2, n)]
 
 
 def _check(spark, edges, **kw):
@@ -33,3 +43,61 @@ def test_chain_fixed_iterations(spark):
 
 def test_ba_fixed_iterations(spark):
     _check(spark, graphs.barabasi_albert(120, m=2), fixed_iterations=4)
+
+
+# ---- subgraph-centric CSR kernel ----
+
+
+def test_csr_single_partition_is_synchronous_lpa(spark):
+    """With one block the local fixpoint IS full synchronous LPA, so results
+    match the oracle run to convergence (non-oscillating fixtures)."""
+    for edges in (graphs.clique(10), graphs.disjoint_cliques(4, 6), anchored_chain(40)):
+        df = graphs.to_df(spark, edges)
+        got = {r.vid: r.label for r in lpa_csr(spark, df, num_parts=1).collect()}
+        want = lpa_oracle(edges, max_iter=10_000)
+        assert got == want
+
+
+def test_csr_disjoint_cliques_hash_partitioned(spark):
+    """Cliques split across hash blocks still collapse to their min label."""
+    edges = graphs.disjoint_cliques(6, 6)
+    df = graphs.to_df(spark, edges)
+    labels = {r.vid: r.label for r in lpa_csr(spark, df, num_parts=8).collect()}
+    for c in range(6):
+        base = c * 100
+        assert {labels[base + i] for i in range(6)} == {base}
+
+
+def test_csr_determinism(spark):
+    edges = graphs.two_islands_bridge()
+    df = graphs.to_df(spark, edges)
+    a = sorted((r.vid, r.label) for r in lpa_csr(spark, df, num_parts=8).collect())
+    b = sorted((r.vid, r.label) for r in lpa_csr(spark, df, num_parts=8).collect())
+    assert a == b
+    # labels only travel along edges: every label is a vid of the same island
+    labels = dict(a)
+    assert all(labels[v] < 1000 for v in labels if v < 1000)
+
+
+def test_csr_superstep_collapse_on_anchored_chain(spark):
+    """The P3 payoff for LPA: the 0-wave on a 400-hop anchored chain needs
+    ~400 synchronous rounds (one hop per round — operators/lpa.py `lpa` runs
+    one round per superstep), but the CSR kernel with range-partitioned
+    blocks crosses a whole block per superstep: supersteps ≈ #blocks."""
+    n = 400
+    edges = anchored_chain(n)
+    # python oracle: converged labels are all 0 (and needs ~n rounds)
+    want = lpa_oracle(edges, max_iter=2 * n)
+    assert set(want.values()) == {0}
+    parts = 8
+    span = (n + parts) // parts
+    df = graphs.to_df(spark, edges)
+    res = lpa_csr(
+        spark,
+        df,
+        num_parts=parts,
+        part_expr=lambda c: F.floor(c / span).cast("int"),
+    )
+    got = {r.vid: r.label for r in res.collect()}
+    assert got == want
+    assert res.lpa_supersteps <= parts + 2, res.lpa_supersteps
