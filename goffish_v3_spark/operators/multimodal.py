@@ -8,10 +8,11 @@ batches without per-row Python overhead on the Spark side.
 Decode paths:
 - ``decode="real"`` — genuine decoding for the container-friendly formats
   implemented here in pure numpy: **PPM (P6)** images and **WAV (RIFF
-  PCM16)** audio. Formats that need PIL/ffmpeg (JPEG/PNG/MP4) raise
-  ``NotImplementedError`` at the exact spot the codec call belongs — video
-  containers have no dependency-free decode, so frame *sampling* stays
-  stubbed while frame *timing* is real.
+  PCM16)** audio. JPEG/PNG/etc decode+resize through **Pillow when it is
+  importable** and MP4/etc frame extraction through the **ffmpeg binary when
+  it is on PATH** (both import-guarded: :func:`_pil` / :func:`_ffmpeg`);
+  when the dependency is truly absent those payloads raise
+  ``NotImplementedError`` at the exact spot the codec call belongs.
 - ``decode="fake"`` — deterministic shape-correct stand-in derived from the
   payload hash (useful when payloads are arbitrary test bytes).
 
@@ -37,6 +38,52 @@ MEDIA_SCHEMA = (
 )
 
 WAV_RATE = 8000
+
+# codecs the pure-numpy paths handle without any optional dependency
+_NUMPY_CODECS = {"ppm", "wav", "fake/v1", "raw/v0"}
+
+
+def _pil():
+    """Pillow's Image module if importable, else None (optional dependency —
+    not in the base container; JPEG/PNG paths activate when present)."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _ffmpeg() -> str | None:
+    """Path to an ffmpeg binary if one is on PATH, else None."""
+    import shutil
+
+    return shutil.which("ffmpeg")
+
+
+def _pil_decode(payload: bytes) -> np.ndarray:
+    """Any PIL-supported still-image payload → (h, w, 3) uint8."""
+    import io
+
+    img = _pil().open(io.BytesIO(payload)).convert("RGB")
+    return np.asarray(img, dtype=np.uint8)
+
+
+def _ffmpeg_frame(payload: bytes, ts_ms: int) -> bytes:
+    """Demux ONE frame at ``ts_ms`` from a video container via the ffmpeg
+    binary (stdin → single-image PPM on stdout, no temp files)."""
+    import subprocess
+
+    proc = subprocess.run(
+        [
+            _ffmpeg(), "-v", "error", "-ss", f"{ts_ms / 1000:.3f}", "-i", "pipe:0",
+            "-frames:v", "1", "-f", "image2", "-vcodec", "ppm", "pipe:1",
+        ],
+        input=payload,
+        capture_output=True,
+        check=True,
+    )
+    return proc.stdout
 
 
 # ---------------------------------------------------------------------------
@@ -136,20 +183,23 @@ def synthesize_media(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads, codecs = [], []
-            for _, r in pdf.iterrows():
-                rng = np.random.default_rng((seed << 20) ^ int(r["media_id"]))
-                if r["kind"] == "image":
-                    w, h = int(r["width"]), int(r["height"])
+            for mid, kind, w, h, dur in zip(
+                pdf["media_id"], pdf["kind"], pdf["width"], pdf["height"],
+                pdf["duration_ms"],
+            ):
+                rng = np.random.default_rng((seed << 20) ^ int(mid))
+                if kind == "image":
+                    w, h = int(w), int(h)
                     gx = np.linspace(0, 255, w, dtype=np.float64)[None, :, None]
                     gy = np.linspace(0, 255, h, dtype=np.float64)[:, None, None]
                     noise = rng.integers(0, 32, size=(h, w, 3))
                     px = np.clip((gx + gy) / 2 + noise, 0, 255).astype(np.uint8)
                     payloads.append(encode_ppm(px))
                     codecs.append("ppm")
-                elif r["kind"] == "audio":
-                    dur_s = int(r["duration_ms"]) / 1000.0
+                elif kind == "audio":
+                    dur_s = int(dur) / 1000.0
                     t = np.arange(int(WAV_RATE * dur_s)) / WAV_RATE
-                    freq = 110.0 * (1 + int(r["media_id"]) % 8)
+                    freq = 110.0 * (1 + int(mid) % 8)
                     wave = 0.6 * np.sin(2 * np.pi * freq * t)
                     wave += 0.05 * rng.standard_normal(len(t))
                     payloads.append(
@@ -216,11 +266,10 @@ def _audio_features(samples: np.ndarray, out_dim: int) -> np.ndarray:
     return rms[:out_dim]
 
 
-def _decode_features(row, out_dim: int, decode: str) -> np.ndarray:
-    payload = bytes(row["payload"])
+def _decode_features(payload: bytes, codec: str, kind: str, out_dim: int, decode: str) -> np.ndarray:
+    payload = bytes(payload)
     if decode == "fake":
         return _fake_decode(payload, out_dim)
-    codec = row["codec"]
     if codec == "ppm":
         return _image_features(decode_ppm(payload), out_dim)
     if codec == "wav":
@@ -228,8 +277,14 @@ def _decode_features(row, out_dim: int, decode: str) -> np.ndarray:
     if codec in ("fake/v1", "raw/v0"):
         # honest fallback for payloads that are not a real format
         return _fake_decode(payload, out_dim)
+    if kind == "image" and _pil() is not None:
+        return _image_features(_pil_decode(payload), out_dim)
+    if kind == "video" and _ffmpeg() is not None:
+        return _image_features(decode_ppm(_ffmpeg_frame(payload, 0)), out_dim)
     raise NotImplementedError(
-        f"codec {codec!r} requires PIL/ffmpeg — not in this container"
+        f"codec {codec!r} requires "
+        + ("Pillow" if kind == "image" else "ffmpeg")
+        + " — not installed in this environment"
     )
 
 
@@ -239,8 +294,9 @@ def extract_features(
     """Append ``features array<double>`` per media row via mapInPandas.
 
     ``decode="real"`` decodes PPM/WAV payloads with the pure-numpy codecs
-    above (PIL/ffmpeg formats raise NotImplementedError); ``decode="fake"``
-    uses the hash stand-in regardless of codec."""
+    above (other formats go through Pillow/ffmpeg when present, else raise
+    NotImplementedError); ``decode="fake"`` uses the hash stand-in
+    regardless of codec."""
     if decode not in ("fake", "real"):
         raise ValueError(decode)
 
@@ -251,8 +307,8 @@ def extract_features(
         for pdf in batches:
             pdf = pdf.copy()
             pdf["features"] = [
-                _decode_features(r, out_dim, decode).tolist()
-                for _, r in pdf.iterrows()
+                _decode_features(p, c, k, out_dim, decode).tolist()
+                for p, c, k in zip(pdf["payload"], pdf["codec"], pdf["kind"])
             ]
             yield pdf
 
@@ -265,26 +321,36 @@ def sample_frames(
     """Video frame sampling: one output row per sampled frame.
 
     Frame *timing* (index/timestamp cadence from duration_ms) is real;
-    frame *pixel extraction* needs a container demuxer (ffmpeg), so
-    ``decode="real"`` raises and ``decode="fake"`` emits deterministic
-    payload-hash frames. Output: ``(media_id long, frame_idx int,
-    frame_ts_ms int, frame binary)``."""
+    frame *pixel extraction* needs a container demuxer, so ``decode="real"``
+    demuxes PPM frames through the ffmpeg binary when one is on PATH and
+    raises NotImplementedError when not; ``decode="fake"`` emits
+    deterministic payload-hash frames. Output: ``(media_id long,
+    frame_idx int, frame_ts_ms int, frame binary)``."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode == "real":
-                raise NotImplementedError("ffmpeg frame extraction not available here")
+            if decode == "real" and _ffmpeg() is None:
+                raise NotImplementedError(
+                    "frame extraction requires an ffmpeg binary on PATH — "
+                    "not installed in this environment"
+                )
             rows = {"media_id": [], "frame_idx": [], "frame_ts_ms": [], "frame": []}
-            for _, r in pdf.iterrows():
-                if r["kind"] != "video":
+            for mid, kind, dur, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["duration_ms"], pdf["payload"]
+            ):
+                if kind != "video":
                     continue
-                n = min(max_frames, max(1, int(r["duration_ms"]) // every_ms))
+                n = min(max_frames, max(1, int(dur) // every_ms))
                 for i in range(n):
-                    rows["media_id"].append(r["media_id"])
+                    rows["media_id"].append(mid)
                     rows["frame_idx"].append(i)
                     rows["frame_ts_ms"].append(i * every_ms)
                     rows["frame"].append(
-                        hashlib.sha256(bytes(r["payload"]) + i.to_bytes(4, "big")).digest()
+                        _ffmpeg_frame(bytes(payload), i * every_ms)
+                        if decode == "real"
+                        else hashlib.sha256(
+                            bytes(payload) + i.to_bytes(4, "big")
+                        ).digest()
                     )
             yield pd.DataFrame(rows)
 
@@ -298,29 +364,37 @@ def resize_images(
 ) -> DataFrame:
     """Image resize. ``decode="real"`` decodes PPM payloads, nearest-
     neighbour-resamples the pixels in numpy, and re-encodes PPM (payload AND
-    metadata change); non-PPM codecs raise NotImplementedError.
-    ``decode="fake"`` only rewrites metadata (plumbing test mode)."""
+    metadata change); non-PPM codecs decode through Pillow when it is
+    importable (re-encoded as PPM — lossless, no encoder settings to pin)
+    and raise NotImplementedError when not. ``decode="fake"`` only rewrites
+    metadata (plumbing test mode)."""
+
+    def _resample(px: np.ndarray) -> bytes:
+        ys = (np.arange(height) * px.shape[0] // height).clip(0, px.shape[0] - 1)
+        xs = (np.arange(width) * px.shape[1] // width).clip(0, px.shape[1] - 1)
+        return encode_ppm(px[ys][:, xs])
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
-            new_payloads = []
-            for _, r in pdf.iterrows():
-                if r["kind"] != "image":
-                    new_payloads.append(bytes(r["payload"]))
-                    continue
-                if decode == "fake":
-                    new_payloads.append(bytes(r["payload"]))
-                    continue
-                if r["codec"] != "ppm":
+            new_payloads, new_codecs = [], []
+            for kind, codec, payload in zip(pdf["kind"], pdf["codec"], pdf["payload"]):
+                if kind != "image" or decode == "fake":
+                    new_payloads.append(bytes(payload))
+                    new_codecs.append(codec)
+                elif codec == "ppm":
+                    new_payloads.append(_resample(decode_ppm(bytes(payload))))
+                    new_codecs.append("ppm")
+                elif _pil() is not None:
+                    new_payloads.append(_resample(_pil_decode(bytes(payload))))
+                    new_codecs.append("ppm")  # re-encoded losslessly as PPM
+                else:
                     raise NotImplementedError(
-                        f"resize of codec {r['codec']!r} requires PIL"
+                        f"resize of codec {codec!r} requires Pillow — "
+                        "not installed in this environment"
                     )
-                px = decode_ppm(bytes(r["payload"]))
-                ys = (np.arange(height) * px.shape[0] // height).clip(0, px.shape[0] - 1)
-                xs = (np.arange(width) * px.shape[1] // width).clip(0, px.shape[1] - 1)
-                new_payloads.append(encode_ppm(px[ys][:, xs]))
             pdf["payload"] = new_payloads
+            pdf["codec"] = new_codecs
             is_img = pdf["kind"] == "image"
             pdf.loc[is_img, "width"] = width
             pdf.loc[is_img, "height"] = height

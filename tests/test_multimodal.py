@@ -58,7 +58,7 @@ def test_extract_features_real_formats(spark):
     assert again == out
 
 
-def test_real_decode_unknown_codec_raises(spark):
+def _jpegish_df(spark):
     import pandas as pd
 
     pdf = pd.DataFrame(
@@ -72,10 +72,85 @@ def test_real_decode_unknown_codec_raises(spark):
             "codec": ["jpeg"],
         }
     )
-    df = spark.createDataFrame(pdf)
+    return spark.createDataFrame(pdf)
+
+
+def test_real_decode_unknown_codec_raises_without_pillow(spark):
+    """The NotImplementedError gate only fires when Pillow is truly absent
+    (with Pillow present the payload goes to the real decoder instead)."""
+    from goffish_v3_spark.operators.multimodal import _pil
+
+    if _pil() is not None:
+        pytest.skip("Pillow installed — the guarded path decodes for real")
     with pytest.raises(Exception) as exc:
-        extract_features(df, decode="real").collect()
-    assert "NotImplementedError" in str(exc.value) or "PIL" in str(exc.value)
+        extract_features(_jpegish_df(spark), decode="real").collect()
+    assert "NotImplementedError" in str(exc.value) or "Pillow" in str(exc.value)
+
+
+def test_pillow_decode_and_resize_when_available(spark):
+    """Dep-gated: with Pillow importable, JPEG/PNG payloads really decode
+    (features + resize), no NotImplementedError."""
+    from goffish_v3_spark.operators.multimodal import _pil
+
+    Image = _pil()
+    if Image is None:
+        pytest.skip("Pillow not installed in this environment")
+    import io
+
+    import numpy as np
+    import pandas as pd
+
+    px = (np.arange(16 * 16 * 3) % 256).astype(np.uint8).reshape(16, 16, 3)
+    buf = io.BytesIO()
+    Image.fromarray(px).save(buf, format="PNG")
+    pdf = pd.DataFrame(
+        {
+            "media_id": [7],
+            "kind": ["image"],
+            "payload": [buf.getvalue()],
+            "width": [16],
+            "height": [16],
+            "duration_ms": [0],
+            "codec": ["png"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    feats = extract_features(df, out_dim=16, decode="real").collect()[0].features
+    assert len(feats) == 16
+    out = resize_images(df, width=8, height=8, decode="real").collect()[0]
+    assert out.codec == "ppm"
+    assert decode_ppm(bytes(out.payload)).shape == (8, 8, 3)
+
+
+def test_ffmpeg_frame_extraction_when_available(spark):
+    """Dep-gated: with an ffmpeg binary on PATH, decode='real' frame
+    sampling demuxes genuine PPM frames."""
+    from goffish_v3_spark.operators.multimodal import _ffmpeg, _ffmpeg_frame
+
+    if _ffmpeg() is None:
+        pytest.skip("ffmpeg not installed in this environment")
+    import subprocess
+
+    # build a tiny real mp4 with ffmpeg itself (deterministic testsrc)
+    proc = subprocess.run(
+        [_ffmpeg(), "-v", "error", "-f", "lavfi", "-i", "testsrc=duration=1:size=64x64:rate=4",
+         "-f", "mp4", "-movflags", "frag_keyframe+empty_moov", "pipe:1"],
+        capture_output=True, check=True,
+    )
+    frame = _ffmpeg_frame(proc.stdout, 250)
+    assert frame.startswith(b"P6")
+    assert decode_ppm(frame).shape == (64, 64, 3)
+
+
+def test_sample_frames_real_raises_without_ffmpeg(spark):
+    from goffish_v3_spark.operators.multimodal import _ffmpeg
+
+    if _ffmpeg() is not None:
+        pytest.skip("ffmpeg installed — the guarded path extracts for real")
+    media = synthesize_media(spark, n=6)
+    with pytest.raises(Exception) as exc:
+        sample_frames(media, decode="real").collect()
+    assert "NotImplementedError" in str(exc.value) or "ffmpeg" in str(exc.value)
 
 
 def test_sample_frames_only_videos(spark):
