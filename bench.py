@@ -61,6 +61,24 @@ def main() -> None:
 
         return _T()
 
+    # ---- warmup (untimed): compile the hot codegen paths + spin up the
+    # Arrow Python workers before any timed section. Cold-JVM JIT/codegen
+    # cost is 30-100 s on a throttled host and would otherwise land entirely
+    # on whichever query runs first (measured 41 s vs 9.9 s warm for the
+    # identical query on 2026-08-17); steady-state cost is what the suite
+    # claims to measure.
+    t_warm = time.monotonic()
+    warm = spark.range(5000).select(
+        (F.col("id") % 500).alias("src"),
+        ((F.col("id") * 7 + 1) % 500).alias("dst"),
+        F.lit(1.0).alias("w"),
+    )
+    pagerank_with_info(spark, warm, fixed_iterations=2)
+    from goffish_v3_spark.operators.kcore import k_core as _warm_kcore
+
+    _warm_kcore(spark, warm, k=2, num_parts=4).count()
+    extra["warmup_sec"] = round(time.monotonic() - t_warm, 3)
+
     # ---- link-graph suite on the cs graph -------------------------------
     cs = customer_supplier_edges(spark, SF_DIR).persist()
     n_cs_edges = cs.count()
@@ -152,17 +170,24 @@ def main() -> None:
     # salted ≈ unsalted, this shows the measured upside.
     from goffish_v3_spark.sources.synthetic import generate_hub_out_edges
 
-    hub_edges = generate_hub_out_edges(spark).persist()
+    # hub sized so the skewed SMJ task (~2M edges vs ~47k typical) dominates
+    # the superstep, not the fixed per-job overhead; min-of-2 per variant
+    # because single ~10 s walls on this box swing ±2× with host throttling
+    hub_edges = generate_hub_out_edges(spark, hub_out_degree=2_000_000).persist()
     n_hub_edges = hub_edges.count()
-    with timed("hub_pagerank_5it"):
-        scores, _ = pagerank_with_info(spark, hub_edges, fixed_iterations=5)
-        scores.count()
-    with timed("hub_pagerank_5it_salted"):
-        scores, _ = pagerank_with_info(
-            spark, hub_edges, fixed_iterations=5,
-            salt_threshold=100_000, num_salts=32,
-        )
-        scores.count()
+
+    def _min_of_2(name: str, **kw) -> None:
+        walls = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            scores, _ = pagerank_with_info(spark, hub_edges, fixed_iterations=5, **kw)
+            scores.count()
+            walls.append(round(time.monotonic() - t0, 3))
+        timings[name] = min(walls)
+        extra[f"{name}_runs"] = walls
+
+    _min_of_2("hub_pagerank_5it")
+    _min_of_2("hub_pagerank_5it_salted", salt_threshold=100_000, num_salts=32)
     extra["hub_edges"] = n_hub_edges
     extra["hub_salting_speedup"] = round(
         timings["hub_pagerank_5it"] / timings["hub_pagerank_5it_salted"], 3
