@@ -559,6 +559,17 @@ SELECT query_id, neighbor_id, sim, rk FROM (
 ) WHERE rk <= 3
 """
 
+FIRST_TOUCH_SQL = """
+SELECT user_id, event_type, ts AS first_ts, event_id AS first_event_id,
+       value AS first_value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
 EVENTS_WINDOW_SQL = """
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
        count(*) AS n, round(sum(value), 6) AS total_value
@@ -889,6 +900,20 @@ def _q_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     return cosine_topk(emb.filter(F.col("vec_id") < 10), emb, k=3)
 
 
+def _q_ivf_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN with n_probe == n_lists (exhaustive probing): exercises the
+    full train→assign→probe→join→rescore machinery while remaining exactly
+    brute force, so the standard ANN SQL oracle hash-checks it. The
+    approximate (n_probe < n_lists) configuration is recall-asserted in
+    tests/test_similarity.py."""
+    from goffish_v3_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return ivf_topk(
+        emb.filter(F.col("vec_id") < 10), emb, k=3, n_lists=8, n_probe=8
+    )
+
+
 def _q_lsh_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     """LSH-bucketed ANN (rows-only: approximate by design; pytest asserts
     recall vs the exact oracle)."""
@@ -975,6 +1000,15 @@ def _q_sessions(spark: SparkSession, sf: str) -> DataFrame:
     return sessionize_batch(events, gap_minutes=30)
 
 
+def _q_first_touch(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom stateful streaming operator: applyInPandasWithState first-touch
+    dedup (per-user seen-set state across micro-batches), run as a true
+    streaming query and drained from the memory sink."""
+    from goffish_v3_spark.streaming.stateful import first_touch_stream
+
+    return first_touch_stream(spark, f"{sf}/events.parquet")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_pagerank_cs(spark, SF_DEFAULT)
@@ -1013,11 +1047,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "simhash_near_dups": _q_simhash_near_dups,
         "ann_cosine_top3": _q_ann_topk,
+        "ivf_ann_exhaustive_top3": _q_ivf_ann_topk,
         "lsh_ann_top3": _q_lsh_ann_topk,
         "embedding_near_dups": _q_emb_near_dups,
         "media_features": _q_media_features,
         "events_hourly_window_stream": _q_events_window,
         "events_sessionize": _q_sessions,
+        "events_first_touch_stream": _q_first_touch,
     }
 
 
@@ -1053,9 +1089,11 @@ def oracle_sql() -> dict[str, str]:
         # minhash_lsh_pairs / doc_fingerprint / simhash_near_dups:
         # xxhash64-based (no DuckDB twin); rows-only
         "ann_cosine_top3": ANN_TOPK_SQL,
+        "ivf_ann_exhaustive_top3": ANN_TOPK_SQL,
         # lsh_ann_top3: approximate by design; recall vs exact asserted in pytest
         "embedding_near_dups": EMB_NEAR_DUP_SQL,
         # media_features: synthesized-in-Spark binary payloads; rows-only
         "events_hourly_window_stream": EVENTS_WINDOW_SQL,
         "events_sessionize": SESSIONS_SQL,
+        "events_first_touch_stream": FIRST_TOUCH_SQL,
     }

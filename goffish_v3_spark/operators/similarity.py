@@ -134,6 +134,129 @@ def lsh_topk(
     )
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_lists: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_n: int = 4096,
+    n_iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer for IVF: Lloyd iterations over a
+    bounded deterministic sample (the ``sample_n`` smallest ids), driver-side
+    numpy. Returns unit-norm centroids ``(n_lists, dim)``.
+
+    At 100 TB the sample stays bounded (collect ≤ sample_n × dim doubles,
+    a few MB) and the centroid matrix broadcasts to every task through the
+    UDF closure — the standard IVF-flat training split: train small,
+    assign distributed."""
+    rows = (
+        corpus.select(F.col(id_col).alias("i"), _as_double(F.col(vec_col)).alias("v"))
+        .orderBy("i")
+        .limit(sample_n)
+        .collect()
+    )
+    X = np.array([r.v for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_lists, len(X)), replace=False)].copy()
+    for _ in range(n_iters):
+        sims = X @ C.T
+        assign = np.argmax(sims, axis=1)
+        newC = np.zeros_like(C)
+        np.add.at(newC, assign, X)
+        counts = np.bincount(assign, minlength=len(C))
+        empty = counts == 0
+        if empty.any():
+            # deterministic reseed: farthest points from their centroid
+            far = np.argsort(sims[np.arange(len(X)), assign])[: int(empty.sum())]
+            newC[empty] = X[far]
+            counts[empty] = 1
+        newC /= np.maximum(np.linalg.norm(newC, axis=1, keepdims=True), 1e-12)
+        if np.allclose(newC, C):
+            break
+        C = newC
+    return C
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    n_probe: int = 4,
+    sample_n: int = 4096,
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF(-flat) approximate top-k: ``(query_id, neighbor_id, sim, rk)``.
+
+    The scale path complementary to :func:`lsh_topk` (data-adaptive lists vs
+    data-oblivious hyperplanes):
+
+    - corpus vectors are assigned to their nearest of ``n_lists`` centroids
+      in ONE narrow Arrow-vectorized pass (pandas UDF: a single matrix
+      multiply per batch — argmax over centroids is inexpressible with
+      built-in array functions without n_lists codegen'd aggregates);
+    - each query probes its ``n_probe`` closest lists; candidates come from
+      an equi-join on ``list_id`` (the IVF shuffle key — never a cross
+      product), then exact cosine rescoring + window top-k;
+    - ``n_probe == n_lists`` probes everything: exact brute force through
+      the same plumbing (oracle-checked in the driver contract), while
+      ``n_probe < n_lists`` trades recall for a ~n_probe/n_lists candidate
+      fraction (recall pytest-asserted).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, n_lists, id_col, vec_col, sample_n=sample_n, seed=seed
+        )
+    C = np.asarray(centroids, dtype=np.float64)
+    n_probe = min(n_probe, len(C))
+
+    def _matrix(v) -> np.ndarray:
+        X = np.array(v.tolist(), dtype=np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        return X @ C.T
+
+    @pandas_udf("int")
+    def assign_list(v):
+        import pandas as pd
+
+        return pd.Series(np.argmax(_matrix(v), axis=1).astype(np.int32))
+
+    @pandas_udf("array<int>")
+    def probe_lists(v):
+        import pandas as pd
+
+        top = np.argsort(-_matrix(v), axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(top.astype(np.int32)))
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("list_id", F.explode(probe_lists(F.col("qv"))))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("list_id", assign_list(F.col("cv")))
+
+    cands = q.join(c, "list_id").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     threshold: float = 0.95,

@@ -112,3 +112,55 @@ def test_embedding_near_dups_small_n_exact_unchanged(spark):
     }
     want = {k: v for k, v in want.items() if v >= 0.9}
     assert got == want
+
+
+def test_ivf_exhaustive_equals_exact(spark):
+    """n_probe == n_lists probes every list: the IVF plumbing must reproduce
+    brute force exactly (ids, ranks, rounded sims)."""
+    from goffish_v3_spark.operators.similarity import ivf_topk
+
+    df, _ = _emb(spark, n=60)
+    q = df.filter(F.col("vec_id") < 8)
+    exact = {
+        (r.query_id, r.rk, r.neighbor_id, r.sim)
+        for r in cosine_topk(q, df, k=3).collect()
+    }
+    ivf = {
+        (r.query_id, r.rk, r.neighbor_id, r.sim)
+        for r in ivf_topk(q, df, k=3, n_lists=8, n_probe=8).collect()
+    }
+    assert ivf == exact
+
+
+def test_ivf_probe_recall(spark):
+    """Partial probing keeps useful recall on clustered data (planted
+    clusters so nearest neighbours share a list)."""
+    from goffish_v3_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((6, 8)) * 4
+    vecs = np.concatenate(
+        [c + 0.3 * rng.standard_normal((15, 8)) for c in centers]
+    ).astype("float32")
+    rows = [(i, vecs[i].tolist()) for i in range(len(vecs))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id) for r in cosine_topk(q, df, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(q, df, k=3, n_lists=6, n_probe=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"IVF recall too low: {recall}"
+
+
+def test_ivf_deterministic(spark):
+    from goffish_v3_spark.operators.similarity import ivf_topk
+
+    df, _ = _emb(spark, n=50)
+    q = df.filter(F.col("vec_id") < 5)
+    a = sorted(map(tuple, ivf_topk(q, df, k=3, n_lists=4, n_probe=2).collect()))
+    b = sorted(map(tuple, ivf_topk(q, df, k=3, n_lists=4, n_probe=2).collect()))
+    assert a == b

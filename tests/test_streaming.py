@@ -49,3 +49,51 @@ def test_sessionize_stream_equals_batch(spark, sf_dir):
         for r in stream.collect()
     }
     assert s == b
+
+
+def test_first_touch_stream_equals_batch(spark, sf_dir):
+    """applyInPandasWithState first-touch dedup == row_number()=1 batch twin
+    (exact: single-file replay, batch sorted by (ts, event_id) in-kernel)."""
+    from goffish_v3_spark.streaming.stateful import first_touch_batch, first_touch_stream
+
+    path = f"{sf_dir}/events.parquet"
+    batch = first_touch_batch(spark.read.parquet(path))
+    stream = first_touch_stream(spark, path, query_name="ft_eq")
+    b = {
+        (r.user_id, r.event_type, r.first_ts, r.first_event_id, r.first_value)
+        for r in batch.collect()
+    }
+    s = {
+        (r.user_id, r.event_type, r.first_ts, r.first_event_id, r.first_value)
+        for r in stream.collect()
+    }
+    assert s == b
+
+
+def test_first_touch_state_suppresses_later_batches(spark, sf_dir, tmp_path):
+    """Duplicates replayed in a LATER micro-batch are suppressed by the
+    seen-set state — the cross-batch property stateless ops can't express.
+    Two copies of the events file, one file per trigger → 2 micro-batches;
+    output must equal ONE copy's first-touch set."""
+    import shutil
+
+    from goffish_v3_spark.streaming.stateful import first_touch_batch, first_touch_stream
+
+    src = f"{sf_dir}/events.parquet"
+    d = tmp_path / "replay"
+    d.mkdir()
+    shutil.copy(src, d / "a.parquet")
+    shutil.copy(src, d / "b.parquet")
+    stream = first_touch_stream(
+        spark, str(d), query_name="ft_two_batches", max_files_per_trigger=1
+    )
+    batch = first_touch_batch(spark.read.parquet(src))
+    s = {
+        (r.user_id, r.event_type, r.first_ts, r.first_event_id, r.first_value)
+        for r in stream.collect()
+    }
+    b = {
+        (r.user_id, r.event_type, r.first_ts, r.first_event_id, r.first_value)
+        for r in batch.collect()
+    }
+    assert s == b
