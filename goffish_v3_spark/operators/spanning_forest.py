@@ -141,14 +141,18 @@ def _distributed_meta_boruvka(
 
     Returns ``(bridges(src, dst), mapping(label, root))``.
     """
+    from pyspark.sql import Observation
+
     from goffish_v3_spark.operators.wcc import _hash_min_fixpoint
 
-    bridges = spark.createDataFrame([], "src long, dst long")
+    bridge_parts: list[DataFrame] = []  # checkpointed pick sets, one per round
     total_map = None  # (label, root) accumulated over rounds
-    cur = meta.localCheckpoint(eager=True)
+    obs0 = Observation("meta_boruvka_init")
+    cur = meta.observe(obs0, F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
+    n_cur = int(obs0.get["n"] or 0)
 
-    for _ in range(max_rounds):
-        if cur.isEmpty():
+    for rnd in range(max_rounds):
+        if n_cur == 0:
             break
         both = cur.select(
             F.col("a").alias("comp"), F.struct("a", "b", "src", "dst").alias("e")
@@ -161,9 +165,9 @@ def _distributed_meta_boruvka(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        bridges = bridges.unionByName(picks.select("src", "dst")).localCheckpoint(
-            eager=True
-        )
+        # picks are already materialized — accumulate and union ONCE at the
+        # end instead of paying a bridges re-checkpoint job every round
+        bridge_parts.append(picks.select("src", "dst"))
         round_map = _hash_min_fixpoint(spark, picks.select("a", "b"))
         # fold into the running label→root mapping
         if total_map is None:
@@ -180,9 +184,11 @@ def _distributed_meta_boruvka(
                 .select("label", F.coalesce("r_root", "root").alias("root"))
                 .localCheckpoint(eager=True)
             )
-        # relabel the meta table and drop now-internal pairs
+        # relabel the meta table and drop now-internal pairs; the surviving
+        # row count rides the same checkpoint (no separate isEmpty job)
         ra = round_map.select(F.col("label").alias("a"), F.col("root").alias("ra"))
         rb = round_map.select(F.col("label").alias("b"), F.col("root").alias("rb"))
+        obs = Observation(f"meta_boruvka_round_{rnd}")
         cur = (
             cur.join(ra, "a", "left")
             .join(rb, "b", "left")
@@ -198,9 +204,14 @@ def _distributed_meta_boruvka(
             )
             .agg(F.min(F.struct("src", "dst")).alias("rep"))
             .select("a", "b", F.col("rep.src").alias("src"), F.col("rep.dst").alias("dst"))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
+        n_cur = int(obs.get["n"] or 0)
 
+    bridges = spark.createDataFrame([], "src long, dst long")
+    for p in bridge_parts:
+        bridges = bridges.unionByName(p)
     if total_map is None:
         total_map = spark.createDataFrame([], "label long, root long")
     return bridges, total_map

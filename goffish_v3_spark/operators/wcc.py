@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from goffish_v3_spark.plans.partitioner import vertex_part
@@ -107,7 +107,7 @@ def _hash_min_fixpoint(spark: SparkSession, meta_edges: DataFrame, max_iter: int
 def _min_rounds(sym: DataFrame, mapping: DataFrame, max_iter: int) -> DataFrame:
     prev_sum = None
 
-    for _ in range(max_iter):
+    for i in range(max_iter):
         neigh_min = (
             sym.join(mapping, sym.b == mapping.label)
             .groupBy("a")
@@ -131,10 +131,13 @@ def _min_rounds(sym: DataFrame, mapping: DataFrame, max_iter: int) -> DataFrame:
             F.col("m1.label").alias("label"),
             F.coalesce(F.col("r_root"), F.col("m1.root")).alias("root"),
         )
-        m2 = m2.localCheckpoint(eager=True)
         # roots only ever decrease (min-propagation), so the root-sum is a
-        # strictly-decreasing convergence witness — one cheap agg, no join
-        new_sum = m2.agg(F.sum("root")).collect()[0][0]
+        # strictly-decreasing convergence witness — observed during the
+        # lineage-truncating materialization: ONE job per round, no separate
+        # agg job (the repo-wide Observation-on-checkpoint pattern)
+        obs = Observation(f"wcc_min_round_{i}")
+        m2 = m2.observe(obs, F.sum("root").alias("s")).localCheckpoint(eager=True)
+        new_sum = obs.get["s"]
         mapping = m2
         if new_sum == prev_sum:
             break
