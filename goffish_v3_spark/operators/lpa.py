@@ -191,12 +191,22 @@ _LPA_EMPTY = {"part": "int32", "kind": "int32", "vid": "int64", "a": "int64"}
 def _make_lpa_kernel(superstep: int, max_local_sweeps: int):
     """One superstep: merge shadows+messages, run the block to local mode
     fixpoint, emit state (kind=0), changed-only boundary labels (kind=1),
-    refreshed shadows (kind=3, routed to self), and a changed count (kind=2).
+    refreshed shadows (kind=3, routed to self), the superstep-start labels
+    (kind=4, routed to self — next superstep's prev-prev state for the
+    cross-block cycle damper), and a changed count (kind=2).
 
     Initial labels are ``label(v) = v`` (lpa() semantics), so a remote
     neighbour with no shadow entry is KNOWN to still hold its own vid —
     changed-only messaging therefore needs no full first exchange (unlike
-    kcore, whose degree seeds are not computable receiver-side)."""
+    kcore, whose degree seeds are not computable receiver-side).
+
+    Cycle damper: the in-sweep 2-cycle breaker only sees oscillation INSIDE
+    a block; a cross-block 2-cycle (e.g. a bridge edge whose endpoints swap
+    labels every superstep) oscillates at superstep granularity. When a
+    vertex's end-of-superstep label equals its label two supersteps ago and
+    differs from last superstep's, the pair {prev, current} is a 2-cycle:
+    take the elementwise min — deterministic, phase-independent, and a
+    no-op on monotone trajectories."""
 
     def kernel(keys, csr_pdf: pd.DataFrame, sm_pdf: pd.DataFrame) -> pd.DataFrame:
         if len(csr_pdf) == 0:
@@ -209,6 +219,7 @@ def _make_lpa_kernel(superstep: int, max_local_sweeps: int):
         remote_mask = blk.edge_dst_local < 0
         shadow_vid = np.empty(0, dtype=np.int64)
         shadow_val = np.empty(0, dtype=np.int64)
+        prevprev = None
 
         if superstep == 0:
             label = blk.local_vids.copy()
@@ -217,6 +228,11 @@ def _make_lpa_kernel(superstep: int, max_local_sweeps: int):
             label = np.empty(n, dtype=np.int64)
             idx = blk.align(state_rows["vid"].to_numpy(dtype=np.int64))
             label[idx] = state_rows["a"].to_numpy(dtype=np.int64)
+            pp_rows = sm_pdf[sm_pdf["kind"] == 4]
+            if len(pp_rows):
+                prevprev = np.empty(n, dtype=np.int64)
+                pidx = blk.align(pp_rows["vid"].to_numpy(dtype=np.int64))
+                prevprev[pidx] = pp_rows["a"].to_numpy(dtype=np.int64)
             msg_rows = sm_pdf[sm_pdf["kind"] == 1]
             sh_rows = sm_pdf[sm_pdf["kind"] == 3]
             # fresh messages override shadows (stable sort keeps them last)
@@ -252,6 +268,10 @@ def _make_lpa_kernel(superstep: int, max_local_sweeps: int):
             remote_label[remote_mask] = vals
 
         label = _local_mode_fixpoint(blk, label, remote_label, max_local_sweeps)
+        if prevprev is not None:
+            cyc = (label == prevprev) & (label != prev)
+            if cyc.any():
+                label = np.where(cyc, np.minimum(label, prev), label)
         changed_mask = label != prev
         changed = np.int64(np.count_nonzero(changed_mask))
 
@@ -277,6 +297,7 @@ def _make_lpa_kernel(superstep: int, max_local_sweeps: int):
                         np.full(n, blk.part, dtype=np.int32),
                         msg_part,
                         np.full(n_sh, blk.part, dtype=np.int32),
+                        np.full(n, blk.part, dtype=np.int32),
                         np.array([blk.part], dtype=np.int32),
                     ]
                 ),
@@ -285,6 +306,7 @@ def _make_lpa_kernel(superstep: int, max_local_sweeps: int):
                         np.zeros(n, dtype=np.int32),
                         np.ones(n_msg, dtype=np.int32),
                         np.full(n_sh, 3, dtype=np.int32),
+                        np.full(n, 4, dtype=np.int32),
                         np.array([2], dtype=np.int32),
                     ]
                 ),
@@ -293,11 +315,18 @@ def _make_lpa_kernel(superstep: int, max_local_sweeps: int):
                         blk.local_vids,
                         blk.local_vids[msg_vidx],
                         shadow_vid,
+                        blk.local_vids,
                         np.array([-1], dtype=np.int64),
                     ]
                 ),
                 "a": np.concatenate(
-                    [label, label[msg_vidx], shadow_val, np.array([changed], dtype=np.int64)]
+                    [
+                        label,
+                        label[msg_vidx],
+                        shadow_val,
+                        prev,
+                        np.array([changed], dtype=np.int64),
+                    ]
                 ),
             }
         )
@@ -320,13 +349,16 @@ def lpa_csr(
     local-compute-to-convergence programs (e.g. KCore.java:91-99,
     SingleSourceShortestPath.java:407-536), applied to LPA.
 
-    Returns ``(vid long, label long)``. Labels are a valid LPA fixpoint but
+    Returns ``(vid long, label long)``. Labels are an LPA labeling but
     (like any asynchronous-schedule LPA) NOT bit-identical to :func:`lpa`'s
     synchronous rounds for a given partitioning other than 1 block; with
     ``num_parts=1`` the local fixpoint IS full synchronous LPA and results
     coincide on graphs that converge without 2-cycling (the cycle-breaker
     picks the lexicographically smaller cycle state, where :func:`lpa` stops
-    wherever ``max_iter`` lands). Deterministic for a fixed partitioning.
+    wherever ``max_iter`` lands). Superstep-level 2-cycles across blocks are
+    damped to their elementwise-min state (see _make_lpa_kernel); longer
+    oscillations — inherent to synchronous LPA, :func:`lpa` included — exit
+    at ``max_iter`` mid-cycle. Deterministic for a fixed partitioning.
 
     Supersteps scale with how many blocks a label wave must cross, not the
     round count of the wave itself: with a locality-aware ``part_expr`` a

@@ -318,6 +318,9 @@ def pagerank_with_info(
             .select(dim["vid"].alias("vid"), "rank")
             .localCheckpoint(eager=True)
         )
+        # scores is materialized — release dim's checkpoint blocks (O(V))
+        # so repeated dense_ids runs don't accumulate executor storage
+        dim.unpersist()
     return scores, info
 
 

@@ -172,7 +172,6 @@ def train_ivf_centroids(
             # deterministic reseed: farthest points from their centroid
             far = np.argsort(sims[np.arange(len(X)), assign])[: int(empty.sum())]
             newC[empty] = X[far]
-            counts[empty] = 1
         newC /= np.maximum(np.linalg.norm(newC, axis=1, keepdims=True), 1e-12)
         if np.allclose(newC, C):
             break

@@ -32,7 +32,7 @@ from goffish_v3_spark.plans.csr import CsrBlock
 
 MAX_BLOCKS = 64
 
-_CACHE: "OrderedDict[tuple[str, int], CsrBlock]" = OrderedDict()
+_CACHE: "OrderedDict[tuple[str, int, tuple], CsrBlock]" = OrderedDict()
 
 _FIELDS = (
     "n_local",
@@ -81,7 +81,8 @@ def write_blocks(blocks: DataFrame, path: str) -> None:
 
 
 def _block_files(path: str, part: int):
-    """List the parquet file(s) for one partition; supports plain paths and
+    """List the parquet file(s) for one partition plus a freshness token
+    (filename, size, mtime) for the first file; supports plain paths and
     URI schemes (hdfs://, s3://, …) via pyarrow.fs so executors on a real
     cluster can read a DFS block store."""
     if "://" in path:
@@ -89,35 +90,46 @@ def _block_files(path: str, part: int):
 
         filesystem, base = pafs.FileSystem.from_uri(path)
         sel = pafs.FileSelector(f"{base}/part={int(part)}", allow_not_found=True)
-        files = [
-            i.path
-            for i in filesystem.get_file_info(sel)
-            if i.path.endswith(".parquet")
+        infos = [
+            i for i in filesystem.get_file_info(sel) if i.path.endswith(".parquet")
         ]
-        return filesystem, files
+        files = [i.path for i in infos]
+        token = (files[0], infos[0].size, infos[0].mtime_ns) if infos else None
+        return filesystem, files, token
 
     import glob
     import os
 
-    return None, glob.glob(os.path.join(path, f"part={int(part)}", "*.parquet"))
+    files = glob.glob(os.path.join(path, f"part={int(part)}", "*.parquet"))
+    token = None
+    if files:
+        st = os.stat(files[0])
+        token = (files[0], st.st_size, st.st_mtime_ns)
+    return None, files, token
 
 
 def load_block(path: str, part: int) -> CsrBlock | None:
     """Fetch the block for ``part`` — worker-process-local LRU cache over
     the parquet store. Returns None if the partition has no block (callers
     in superstep kernels should treat that as a hard error: any state or
-    seed row for a partition implies its block was written)."""
-    key = (path, int(part))
+    seed row for a partition implies its block was written).
+
+    The cache key includes the block file's (name, size, mtime) freshness
+    token, so re-running write_blocks into the SAME directory for a
+    different graph (long-lived Python workers, reused blocks_dir) can
+    never serve the previous graph's blocks — a stat per superstep call,
+    not a re-read."""
+    import pyarrow.parquet as pq
+
+    filesystem, files, token = _block_files(path, part)
+    if not files:
+        return None
+    key = (path, int(part), token)
     blk = _CACHE.get(key)
     if blk is not None:
         _CACHE.move_to_end(key)
         return blk
 
-    import pyarrow.parquet as pq
-
-    filesystem, files = _block_files(path, part)
-    if not files:
-        return None
     tbl = pq.read_table(files[0], filesystem=filesystem)
     row = {name: tbl.column(name)[0].as_py() for name in _FIELDS}
     row["part"] = int(part)

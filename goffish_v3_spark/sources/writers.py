@@ -74,10 +74,13 @@ def write_partitioned_adjacency_list(
 
 
 def write_json_lines(edges: DataFrame, path: str, num_parts: int) -> None:
-    """``[srcid, pid, value, [[sink, eid, eval]…]]`` JSON lines. Vertex value
-    is 0 (the reference seeds compute-time values); edge id = sink id and
-    edge value = the ``w`` column (1.0 when absent), mirroring what
-    read_json_lines parses back out."""
+    """``[srcid, pid, value, [[sink, eid, eval]…]]`` JSON lines — the RAW
+    nested-array wire format (hama LongTextJSONReader.java:62-64 feeds each
+    line to org.json JSONArray, so element 3 must be a real nested array,
+    not an escaped string). Built by string assembly because to_json cannot
+    emit a heterogeneous positional array. Vertex value is 0 (the reference
+    seeds compute-time values); edge id = sink id; edge value = ``w``
+    (1.0 when absent)."""
     e = edges
     if "w" not in e.columns:
         e = e.withColumn("w", F.lit(1.0))
@@ -92,25 +95,32 @@ def write_json_lines(edges: DataFrame, path: str, num_parts: int) -> None:
         .join(e.select(F.col("src").alias("vid")).distinct(), "vid", "left_anti")
         .withColumn("es", F.array().cast("array<struct<sink:long,w:double>>"))
     )
+    # [[sink,eid,eval],…] with integer sink/eid (a "3.0" literal would cast
+    # to NULL in the reader) and w as-is
+    inner = F.concat_ws(
+        ",",
+        F.transform(
+            F.col("es"),
+            lambda s: F.concat(
+                F.lit("["),
+                s.sink.cast("string"),
+                F.lit(","),
+                s.sink.cast("string"),
+                F.lit(","),
+                s.w.cast("string"),
+                F.lit("]"),
+            ),
+        ),
+    )
     rows = per_src.unionByName(lonely).select(
-        F.to_json(
-            F.array(
-                F.col("vid").cast("string"),
-                vertex_part(F.col("vid"), num_parts).cast("string"),
-                F.lit("0"),
-                F.to_json(
-                    F.transform(
-                        F.col("es"),
-                        # integer-string sink/eid so the reader's cast("long")
-                        # round-trips ("3.0" would cast to NULL)
-                        lambda s: F.array(
-                            s.sink.cast("string"),
-                            s.sink.cast("string"),
-                            s.w.cast("string"),
-                        ),
-                    )
-                ),
-            )
+        F.concat(
+            F.lit("["),
+            F.col("vid").cast("string"),
+            F.lit(","),
+            vertex_part(F.col("vid"), num_parts).cast("string"),
+            F.lit(",0,["),
+            inner,
+            F.lit("]]"),
         ).alias("value")
     )
     rows.write.mode("overwrite").text(path)

@@ -42,8 +42,16 @@ def _first_touch_fn(
     key, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     seen = set(state.get[0]) if state.exists else set()
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"], kind="stable")
+    # one micro-batch arrives as an ITERATOR of Arrow chunks (split at
+    # maxRecordsPerBatch) in no guaranteed order — dedup per chunk would let
+    # a later chunk's earlier-(ts, event_id) event lose to an already-seen
+    # type; concatenate first (bounded by the user's batch volume), then
+    # take the global per-type minimum
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts", "event_id"], kind="stable"
+        )
         fresh = pdf[~pdf["event_type"].isin(seen)].drop_duplicates(
             "event_type", keep="first"
         )
@@ -74,15 +82,24 @@ def first_touch_stream(
     ``max_files_per_trigger`` forces multi-micro-batch replays (one file per
     batch) — used by tests to prove the seen-set state suppresses duplicates
     arriving in LATER batches, which no stateless operator can."""
+    import os
+
     from goffish_v3_spark.streaming.events import _read_stream
 
-    stream = _read_stream(spark, parquet_path)
-    if max_files_per_trigger is not None:
-        stream = (
-            spark.readStream.schema(stream.schema)
-            .option("maxFilesPerTrigger", max_files_per_trigger)
-            .parquet(parquet_path)
+    if max_files_per_trigger is None:
+        stream = _read_stream(spark, parquet_path)
+    else:
+        # mirror _read_stream's single-file handling (file source wants a
+        # directory) while adding the per-trigger file cap
+        schema = spark.read.parquet(parquet_path).schema
+        reader = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", max_files_per_trigger
         )
+        if os.path.isdir(parquet_path):
+            stream = reader.parquet(parquet_path)
+        else:
+            d, fname = os.path.split(parquet_path)
+            stream = reader.option("pathGlobFilter", fname).parquet(d)
     stream = stream.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
     out = stream.groupBy("user_id").applyInPandasWithState(
         _first_touch_fn,

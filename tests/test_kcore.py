@@ -42,3 +42,20 @@ def test_core_numbers_block_cache_mode_matches(spark):
     a = {r.vid: r.core for r in core_numbers(spark, df, num_parts=4, cache_blocks=False).collect()}
     b = {r.vid: r.core for r in core_numbers(spark, df, num_parts=4, cache_blocks=True).collect()}
     assert a == b
+
+
+def test_block_cache_reused_dir_not_stale(spark, tmp_path):
+    """Re-running into the SAME blocks_dir with a DIFFERENT graph must not
+    serve the first graph's cached blocks from long-lived Python workers
+    (cache key includes the block file's freshness token)."""
+    from goffish_v3_spark.operators.kcore import core_numbers
+    from tests.oracles import kcore_oracle as core_numbers_oracle
+
+    d = str(tmp_path / "shared_blocks")
+    g1 = graphs.clique(6)
+    g2 = graphs.disjoint_cliques(3, 4)
+    df1, df2 = graphs.to_df(spark, g1), graphs.to_df(spark, g2)
+    a = {r.vid: r.core for r in core_numbers(spark, df1, num_parts=4, blocks_dir=d).collect()}
+    b = {r.vid: r.core for r in core_numbers(spark, df2, num_parts=4, blocks_dir=d).collect()}
+    assert a == core_numbers_oracle(g1)
+    assert b == core_numbers_oracle(g2)

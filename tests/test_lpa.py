@@ -79,6 +79,21 @@ def test_csr_determinism(spark):
     assert all(labels[v] < 1000 for v in labels if v < 1000)
 
 
+def test_csr_cross_block_two_cycle_converges(spark):
+    """A bridge edge whose endpoints sit in different blocks label-swaps
+    every superstep (the in-block breaker can't see it); the kind=4
+    prev-prev damper must converge it to the min label well before
+    max_iter."""
+    edges = [(0, 1)]
+    df = graphs.to_df(spark, edges)
+    res = lpa_csr(
+        spark, df, num_parts=2, part_expr=lambda c: c.cast("int") % 2
+    )
+    labels = {r.vid: r.label for r in res.collect()}
+    assert labels == {0: 0, 1: 0}
+    assert res.lpa_supersteps <= 5, res.lpa_supersteps
+
+
 def test_csr_superstep_collapse_on_anchored_chain(spark):
     """The P3 payoff for LPA: the 0-wave on a 400-hop anchored chain needs
     ~400 synchronous rounds (one hop per round — operators/lpa.py `lpa` runs
