@@ -116,3 +116,19 @@ def test_csr_superstep_collapse_on_anchored_chain(spark):
     got = {r.vid: r.label for r in res.collect()}
     assert got == want
     assert res.lpa_supersteps <= parts + 2, res.lpa_supersteps
+
+
+def test_csr_block_cache_mode_matches(spark, tmp_path):
+    """Cache-mode lpa_csr equals the cogrouped path exactly (same kernel,
+    same schedule)."""
+    edges = graphs.two_islands_bridge()
+    df = graphs.to_df(spark, edges)
+    base = sorted((r.vid, r.label) for r in lpa_csr(spark, df, num_parts=4).collect())
+    cached = sorted(
+        (r.vid, r.label)
+        for r in lpa_csr(
+            spark, df, num_parts=4, cache_blocks=True,
+            blocks_dir=str(tmp_path / "lpa_blocks"),
+        ).collect()
+    )
+    assert base == cached
