@@ -12,6 +12,10 @@ exact inverse of its sources.readers parser — asserted by round-trip tests
   (``VID PID Sink1 …``, hama PartitionsLongTextAdjacencyListReader.java:57-59)
 - :func:`write_json_lines`         ↔ readers.read_json_lines
   (``[srcid, pid, value, [[sink,eid,eval]…]]``, hama LongTextJSONReader.java:62-64)
+- :func:`write_full_info`          ↔ readers.read_full_info
+  (``PID SGID VID sink1 sgid1 pid1 …``, hama FullInfoSplitReader.java:55-66 —
+  sgids are computed as partition-local weak components, the reference's
+  pre-discovered subgraphs)
 
 All writers are single-shuffle distributed text writes: one
 ``groupBy(src)`` with ``sort_array(collect_list(...))`` (deterministic line
@@ -69,6 +73,83 @@ def write_partitioned_adjacency_list(
                 F.concat_ws(" ", F.col("sinks")),
             )
         ).alias("value")
+    )
+    lines.write.mode("overwrite").text(path)
+
+
+def subgraph_ids(edges: DataFrame, num_parts: int) -> DataFrame:
+    """(vid, sgid): each vertex's subgraph id = min vid of its weakly
+    connected component within the subgraph induced on its own partition
+    (intra-partition edges only) — the quantity the reference's readers
+    pre-discover (LongTextAdjacencyListReader.java:249-315) and the
+    full-info format carries explicitly. Vertices with no intra-partition
+    edge are singleton subgraphs (sgid = own vid), handled by the caller's
+    coalesce."""
+    from goffish_v3_spark.operators.wcc import local_component_labels
+
+    intra = edges.select("src", "dst").filter(
+        vertex_part(F.col("src"), num_parts) == vertex_part(F.col("dst"), num_parts)
+    )
+    return local_component_labels(intra, num_parts).select(
+        "vid", F.col("label").alias("sgid")
+    )
+
+
+def write_full_info(edges: DataFrame, path: str, num_parts: int) -> None:
+    """``PID SGID VID sink1 sgid1 pid1 sink2 sgid2 pid2 …`` — the
+    pre-computed-subgraphs format. One shuffle to compute sgids, one
+    broadcast-ish join to annotate sinks, one groupBy(src) to assemble
+    lines."""
+    sg = subgraph_ids(edges, num_parts)
+    e = edges.select("src", "dst")
+    annotated = (
+        e.join(sg.select(F.col("vid").alias("dst"), F.col("sgid").alias("dst_sgid")),
+               "dst", "left")
+        .select(
+            "src",
+            F.struct(
+                "dst",
+                F.coalesce("dst_sgid", F.col("dst")).alias("dst_sgid"),
+                vertex_part(F.col("dst"), num_parts).alias("dst_part"),
+            ).alias("s"),
+        )
+    )
+    per_src = annotated.groupBy(F.col("src").alias("vid")).agg(
+        F.sort_array(F.collect_list("s")).alias("sinks")
+    )
+    lonely = (
+        e.select(F.col("dst").alias("vid"))
+        .distinct()
+        .join(e.select(F.col("src").alias("vid")).distinct(), "vid", "left_anti")
+        .withColumn(
+            "sinks", F.array().cast("array<struct<dst:long,dst_sgid:long,dst_part:int>>")
+        )
+    )
+    lines = (
+        per_src.unionByName(lonely)
+        .join(sg, "vid", "left")
+        .select(
+            F.rtrim(
+                F.concat_ws(
+                    " ",
+                    vertex_part(F.col("vid"), num_parts).cast("string"),
+                    F.coalesce("sgid", F.col("vid")).cast("string"),
+                    F.col("vid").cast("string"),
+                    F.concat_ws(
+                        " ",
+                        F.transform(
+                            F.col("sinks"),
+                            lambda s: F.concat_ws(
+                                " ",
+                                s.dst.cast("string"),
+                                s.dst_sgid.cast("string"),
+                                s.dst_part.cast("string"),
+                            ),
+                        ),
+                    ),
+                )
+            ).alias("value")
+        )
     )
     lines.write.mode("overwrite").text(path)
 

@@ -53,6 +53,39 @@ def test_partitioned_adjacency_roundtrip(spark, tmp_path):
     assert all(r.part == r.expect for r in chk)
 
 
+def test_full_info_roundtrip(spark, tmp_path):
+    from goffish_v3_spark.plans.partitioner import vertex_part
+    from goffish_v3_spark.sources.readers import read_full_info
+    from goffish_v3_spark.sources.writers import subgraph_ids, write_full_info
+
+    df, want = _edges(spark)
+    path = str(tmp_path / "finfo")
+    write_full_info(df, path, num_parts=4)
+    got = read_full_info(spark, path)
+    back = {(r.src, r.dst) for r in got.collect()}
+    assert back == want
+    # pids on both endpoints match the engine's hash partitioner
+    chk = got.select(
+        "part",
+        vertex_part(F.col("src"), 4).alias("p_src"),
+        "dst_part",
+        vertex_part(F.col("dst"), 4).alias("p_dst"),
+    ).collect()
+    assert all(r.part == r.p_src and r.dst_part == r.p_dst for r in chk)
+    # sgids are consistent: the sgid a line claims for a sink equals the
+    # sgid that sink's own line claims for itself (the invariant the
+    # reference's FullInfoSplitReader relies on to skip subgraph discovery)
+    own = {r.vid: r.sgid for r in subgraph_ids(df, 4).collect()}
+    rows = got.select("src", "sgid", "dst", "dst_sgid", "part").collect()
+    assert all(r.sgid == own.get(r.src, r.src) for r in rows)
+    assert all(r.dst_sgid == own.get(r.dst, r.dst) for r in rows)
+    # sgid really is partition-local: two vertices sharing an sgid share a pid
+    by_sg = {}
+    for r in rows:
+        by_sg.setdefault(r.sgid, set()).add(r.part)
+    assert all(len(parts) == 1 for parts in by_sg.values())
+
+
 def test_json_lines_roundtrip(spark, tmp_path):
     df, want = _edges(spark)
     df = df.withColumn("w", (F.col("src") % 3 + 1).cast("double"))
