@@ -540,6 +540,29 @@ SELECT token, count(*) AS n FROM (
 GROUP BY token ORDER BY n DESC, token LIMIT 50
 """
 
+DOC_FINGERPRINT_DET_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(0, greatest(len(t) - 8, 0)),
+           i -> array_to_string(list_slice(t, i + 1, i + 8), ' ')
+         ) AS shingles
+  FROM toks
+)
+SELECT doc_id,
+       list_min(list_transform(shingles, s ->
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_filter(
+               list_transform(string_split_regex(s, ''),
+                              c -> CAST(unicode(c) AS BIGINT)),
+               c -> c >= 1)),
+           (a, c) -> (a * 31 + c) % 1000000007))) AS fingerprint
+FROM sh
+"""
+
 DEDUP_KEEP_ONE_SQL = """
 SELECT doc_id FROM documents
 WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY sha256(text))
@@ -893,6 +916,16 @@ def _q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     return fingerprint(docs).select("doc_id", "fingerprint")
 
 
+def _q_doc_fingerprint_det(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing fingerprint with the SQL-expressible polynomial shingle
+    hash (operators/text.py fingerprint_rolling) — the hash-checkable twin
+    of doc_fingerprint."""
+    from goffish_v3_spark.operators.text import fingerprint_rolling
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return fingerprint_rolling(docs).select("doc_id", "fingerprint")
+
+
 def _q_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     from goffish_v3_spark.operators.similarity import cosine_topk
 
@@ -1044,6 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_tokens": _q_top_tokens,
         "minhash_lsh_pairs": _q_minhash_pairs,
         "doc_fingerprint": _q_doc_fingerprint,
+        "doc_fingerprint_det": _q_doc_fingerprint_det,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "simhash_near_dups": _q_simhash_near_dups,
         "ann_cosine_top3": _q_ann_topk,
@@ -1087,7 +1121,9 @@ def oracle_sql() -> dict[str, str]:
         "top_tokens": TOP_TOKENS_SQL,
         "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
         # minhash_lsh_pairs / doc_fingerprint / simhash_near_dups:
-        # xxhash64-based (no DuckDB twin); rows-only
+        # xxhash64-based (no DuckDB twin); rows-only. doc_fingerprint_det
+        # is the oracle-checkable polynomial-hash twin of doc_fingerprint.
+        "doc_fingerprint_det": DOC_FINGERPRINT_DET_SQL,
         "ann_cosine_top3": ANN_TOPK_SQL,
         "ivf_ann_exhaustive_top3": ANN_TOPK_SQL,
         # lsh_ann_top3: approximate by design; recall vs exact asserted in pytest

@@ -125,3 +125,37 @@ def fingerprint(df: DataFrame, text_col: str = "text", window: int = 8) -> DataF
     return df.withColumn(
         "fingerprint", F.array_min(F.transform(shingles, lambda s: F.xxhash64(s)))
     )
+
+
+def polyhash(s: Column, mod: int = 1_000_000_007, base: int = 31) -> Column:
+    """Base-``base`` polynomial hash of a string's Unicode codepoints mod
+    ``mod`` — the classic rolling hash, fully JVM-side. Unlike xxhash64 it
+    has an exact ANSI-SQL twin (DuckDB ``list_reduce`` over
+    ``unicode(char)``), so fingerprints built from it are oracle-checkable.
+    The ``c != 0`` filter drops the empty-string artifact of char-splitting
+    (``ascii('') = 0``) so ``polyhash('') = 0`` on both engines; mod < 2^31
+    keeps ``acc*base + c`` within long range."""
+    cps = F.filter(F.transform(F.split(s, ""), F.ascii), lambda c: c != 0)
+    return F.aggregate(
+        cps, F.lit(0).cast("long"), lambda acc, c: (acc * base + c) % mod
+    )
+
+
+def fingerprint_rolling(
+    df: DataFrame, text_col: str = "text", window: int = 8, mod: int = 1_000_000_007
+) -> DataFrame:
+    """Deterministic twin of :func:`fingerprint`: the same winnowing shape
+    (min over ``window``-token shingles) with :func:`polyhash` as the
+    shingle hash instead of xxhash64. Slightly weaker as a hash (mod-p
+    polynomial vs 64-bit avalanche) but bit-reproducible across engines —
+    use where the fingerprint must be auditable outside Spark."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - window, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, window)),
+    )
+    return df.withColumn(
+        "fingerprint",
+        F.array_min(F.transform(shingles, lambda s: polyhash(s, mod))),
+    )

@@ -50,6 +50,38 @@ def test_quality_features_ranges(spark):
     assert by_id[5].quality_score < 1.0  # too short
 
 
+def test_fingerprint_rolling_matches_python_reference(spark):
+    from goffish_v3_spark.operators.text import fingerprint_rolling
+
+    MOD, BASE, W = 1_000_000_007, 31, 8
+
+    def ref(text):
+        toks = text.strip().split() or [""]
+        shingles = [
+            " ".join(toks[i : i + W]) for i in range(max(len(toks) - W, 0) + 1)
+        ]
+
+        def ph(s):
+            h = 0
+            for ch in s:
+                h = (h * BASE + ord(ch)) % MOD
+            return h
+
+        return min(ph(s) for s in shingles)
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again ok"),
+        (2, "short"),
+        (3, ""),
+        (4, "   "),
+        (5, "héllo wörld ünïcode façade"),
+        (6, "a b c d e f g h i j k l m n o p"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.fingerprint for r in fingerprint_rolling(df).collect()}
+    assert got == {i: ref(t) for i, t in rows}
+
+
 def test_fingerprint_deterministic_and_similar_for_near_dups(spark):
     a = "the quick brown fox jumps over the lazy dog again and again ok"
     rows = [(1, a), (2, a), (3, "completely different content here")]
