@@ -540,6 +540,80 @@ SELECT token, count(*) AS n FROM (
 GROUP BY token ORDER BY n DESC, token LIMIT 50
 """
 
+def _minhash_det_sql(num_hashes=32, bands=8, shingle=3, threshold=0.7) -> str:
+    """Exact SQL replay of minhash_lsh_pairs(hash_fn='poly'): same exact-dup
+    collapse, polynomial shingle hashes, affine permutations (identical
+    (a_i, b_i) constants, inlined as literals), signature-slice band
+    buckets, shared-bucket candidates, exact hashed-shingle Jaccard ≥
+    threshold, and identical-group expansion (operators/dedup.py:94-260)."""
+    MIX_A, MASK = 0x9E3779B97F4A7C15, (1 << 31) - 1
+    params = ", ".join(
+        f"({i}, {((MIX_A * (2 * i + 1)) % MASK) or 1}, {(MIX_A * (i + 7) ** 2 + 13) % MASK})"
+        for i in range(num_hashes)
+    )
+    rpb = num_hashes // bands
+    return rf"""
+WITH keyed AS (
+  SELECT doc_id AS id, sha256(text) AS sha, text FROM documents
+), grp AS (
+  SELECT sha, min(id) AS rep FROM keyed GROUP BY sha
+), members AS (
+  SELECT k.id, g.rep FROM keyed k JOIN grp g USING (sha)
+), reps AS (
+  SELECT k.id, k.text FROM keyed k JOIN grp g ON k.id = g.rep
+), toks AS (
+  SELECT id, regexp_split_to_array(trim(text), '\s+') AS t FROM reps
+), sh AS (
+  SELECT id, list_transform(
+           generate_series(0, greatest(len(t) - {shingle}, 0)),
+           i -> list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_filter(
+                      list_transform(
+                        string_split_regex(array_to_string(list_slice(t, i + 1, i + {shingle}), ' '), ''),
+                        c -> CAST(unicode(c) AS BIGINT)),
+                      c -> c >= 1)),
+                  (a, c) -> (a * 31 + c) % 1000000007)
+         ) AS hs
+  FROM toks
+), shset AS (
+  SELECT id, list_distinct(hs) AS hset FROM sh
+), params(pi, a, b) AS (VALUES {params}),
+sigs AS (
+  SELECT s.id, p.pi, min((p.a * s.h + p.b) % {MASK}) AS mh
+  FROM (SELECT id, unnest(hs) AS h FROM sh) s CROSS JOIN params p
+  GROUP BY s.id, p.pi
+), sigarr AS (
+  SELECT id, list(mh ORDER BY pi) AS sig FROM sigs GROUP BY id
+), bands AS (
+  SELECT id, bn.band,
+         array_to_string(
+           list_transform(list_slice(sig, band * {rpb} + 1, band * {rpb} + {rpb}),
+                          x -> CAST(x AS VARCHAR)), ',') AS bucket
+  FROM sigarr CROSS JOIN (SELECT unnest(generate_series(0, {bands - 1})) AS band) bn
+), cand AS (
+  SELECT DISTINCT x.id AS ra, y.id AS rb
+  FROM bands x JOIN bands y ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id
+), rep_pairs AS (
+  SELECT c.ra, c.rb,
+         round(CAST(len(list_intersect(sa.hset, sb.hset)) AS DOUBLE)
+               / greatest(len(list_distinct(list_concat(sa.hset, sb.hset))), 1), 6) AS jaccard
+  FROM cand c JOIN shset sa ON sa.id = c.ra JOIN shset sb ON sb.id = c.rb
+), cross_pairs AS (
+  SELECT least(ma.id, mb.id) AS id_a, greatest(ma.id, mb.id) AS id_b, r.jaccard
+  FROM rep_pairs r JOIN members ma ON ma.rep = r.ra JOIN members mb ON mb.rep = r.rb
+  WHERE r.jaccard >= {threshold}
+), intra AS (
+  SELECT m1.id AS id_a, m2.id AS id_b, CAST(1.0 AS DOUBLE) AS jaccard
+  FROM members m1 JOIN members m2 ON m1.rep = m2.rep AND m1.id < m2.id
+)
+SELECT id_a, id_b, jaccard FROM cross_pairs
+UNION ALL SELECT id_a, id_b, jaccard FROM intra
+"""
+
+
+MINHASH_DET_SQL = _minhash_det_sql(threshold=0.5)
+
 DOC_FINGERPRINT_DET_SQL = r"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
@@ -909,6 +983,18 @@ def _q_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return minhash_lsh_pairs(docs, jaccard_threshold=0.5)
 
 
+def _q_minhash_pairs_det(spark: SparkSession, sf: str) -> DataFrame:
+    """The same LSH pipeline in hash_fn='poly' mode — every stage (shingle
+    hash, permutations, band buckets) SQL-reproducible, so the driver
+    hash-checks the full MinHash-LSH output against MINHASH_DET_SQL."""
+    from goffish_v3_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return minhash_lsh_pairs(
+        docs, jaccard_threshold=0.5, hash_fn="poly", max_bucket_width=None
+    )
+
+
 def _q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     from goffish_v3_spark.operators.text import fingerprint
 
@@ -1076,6 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_one": _q_dedup_keep_one,
         "top_tokens": _q_top_tokens,
         "minhash_lsh_pairs": _q_minhash_pairs,
+        "minhash_lsh_pairs_det": _q_minhash_pairs_det,
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_fingerprint_det": _q_doc_fingerprint_det,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -1122,8 +1209,10 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
         # minhash_lsh_pairs / doc_fingerprint / simhash_near_dups:
         # xxhash64-based (no DuckDB twin); rows-only. doc_fingerprint_det
-        # is the oracle-checkable polynomial-hash twin of doc_fingerprint.
+        # is the oracle-checkable polynomial-hash twin of doc_fingerprint,
+        # minhash_lsh_pairs_det of the full LSH pipeline.
         "doc_fingerprint_det": DOC_FINGERPRINT_DET_SQL,
+        "minhash_lsh_pairs_det": MINHASH_DET_SQL,
         "ann_cosine_top3": ANN_TOPK_SQL,
         "ivf_ann_exhaustive_top3": ANN_TOPK_SQL,
         # lsh_ann_top3: approximate by design; recall vs exact asserted in pytest

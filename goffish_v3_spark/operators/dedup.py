@@ -91,6 +91,13 @@ def minhash_signature(text_col: str, num_hashes: int = 32, shingle: int = 3) -> 
     return F.array(*_minhash_perms(num_hashes, hashes))
 
 
+def _bucket_key(slice_str: "F.Column", hash_fn: str) -> "F.Column":
+    """Band-bucket key from a comma-joined signature slice: xxhash64 (long,
+    narrow shuffle key) by default; the raw string in ``poly`` mode so the
+    grouping is SQL-reproducible."""
+    return slice_str if hash_fn == "poly" else F.xxhash64(slice_str)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -101,6 +108,7 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.7,
     max_bucket_width: int | None = 10_000,
     expand_identical: bool = True,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs ``(id_a, id_b, jaccard)`` with id_a < id_b.
 
@@ -120,7 +128,16 @@ def minhash_lsh_pairs(
     - ``expand_identical=False`` keeps output linear in group sizes: members
       link to their representative as ``(rep, member, 1.0)`` star pairs
       instead of the full quadratic within-group expansion.
+
+    ``hash_fn="poly"`` swaps xxhash64 for the base-31 polynomial codepoint
+    hash (text.polyhash) as the shingle hash and uses the raw
+    comma-joined signature slice as the band-bucket key (no bucket
+    rehash) — bit-reproducible in ANSI SQL, so the whole LSH pipeline
+    becomes oracle-checkable. Costs: slightly weaker hash mixing and a
+    string (vs long) bucket shuffle key.
     """
+    if hash_fn not in ("xxhash64", "poly"):
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'poly', got {hash_fn!r}")
     keyed = df.select(
         F.col(id_col).alias("_id"), F.sha2(F.col(text_col), 256).alias("_sha")
     )
@@ -136,9 +153,15 @@ def minhash_lsh_pairs(
     # Catalyst's CollapseProject inlines the shingle subtree into each of the
     # num_hashes permutation expressions (num_hashes× recompute of the
     # tokenize/concat/xxhash work per row)
-    sh_df = reps.select(
-        "_id", shingle_hashes("_text", shingle).alias("sh")
-    ).localCheckpoint(eager=True)
+    if hash_fn == "poly":
+        from goffish_v3_spark.operators.text import polyhash
+
+        sh_col = F.transform(
+            string_shingles("_text", shingle), lambda s: polyhash(s)
+        )
+    else:
+        sh_col = shingle_hashes("_text", shingle)
+    sh_df = reps.select("_id", sh_col.alias("sh")).localCheckpoint(eager=True)
     reduced = F.transform(F.col("sh"), lambda h: F.pmod(h, F.lit(_MASK)))
     sig = sh_df.select(
         "_id",
@@ -154,14 +177,15 @@ def minhash_lsh_pairs(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.xxhash64(
+                    _bucket_key(
                         F.concat_ws(
                             ",",
                             F.transform(
                                 F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
                                 lambda x: x.cast("string"),
                             ),
-                        )
+                        ),
+                        hash_fn,
                     ).alias("bucket"),
                 ),
             )

@@ -51,6 +51,31 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert all(a in (1, 2, 3) and b in (1, 2, 3) for a, b in pairs)
 
 
+def test_minhash_poly_mode_matches_xxhash_semantics(spark):
+    """hash_fn='poly' (the SQL-reproducible mode) finds the same pairs with
+    the same exact-Jaccard values on the fixture — only the hash family
+    differs, not the candidate/verify semantics."""
+    base = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(_docs(spark), jaccard_threshold=0.5).collect()
+    }
+    poly = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(
+            _docs(spark), jaccard_threshold=0.5, hash_fn="poly"
+        ).collect()
+    }
+    assert poly == base
+    # determinism across invocations (no RNG anywhere in the poly path)
+    again = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(
+            _docs(spark), jaccard_threshold=0.5, hash_fn="poly"
+        ).collect()
+    }
+    assert again == poly
+
+
 def test_ngram_jaccard_exact_values(spark):
     pairs = spark.createDataFrame([(1, 2), (1, 4)], "id_a long, id_b long")
     out = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(_docs(spark), pairs).collect()}
