@@ -614,6 +614,52 @@ UNION ALL SELECT id_a, id_b, jaccard FROM intra
 
 MINHASH_DET_SQL = _minhash_det_sql(threshold=0.5)
 
+# 60-bit two-family polynomial simhash replay (operators/dedup.py
+# simhash_poly: base 31 → bits 0-29, base 131 → bits 30-59;
+# simhash_near_duplicates(hash_fn='poly'), prefix_bits=16 → >> 44)
+SIMHASH_DET_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS t
+  FROM documents
+), th AS (
+  SELECT doc_id,
+         list_transform(t, tok -> list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_filter(
+               list_transform(string_split_regex(tok, ''),
+                              c -> CAST(unicode(c) AS BIGINT)),
+               c -> c >= 1)),
+           (a, c) -> (a * 31 + c) % 1000000007)) AS hs1,
+         list_transform(t, tok -> list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_filter(
+               list_transform(string_split_regex(tok, ''),
+                              c -> CAST(unicode(c) AS BIGINT)),
+               c -> c >= 1)),
+           (a, c) -> (a * 131 + c) % 1000000007)) AS hs2
+  FROM toks
+), fams AS (
+  SELECT doc_id, 0 AS fam, unnest(hs1) AS h FROM th
+  UNION ALL
+  SELECT doc_id, 1 AS fam, unnest(hs2) AS h FROM th
+), votes AS (
+  SELECT doc_id, j, sum(CASE WHEN (h >> (j % 30)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM fams
+  CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j)
+  WHERE fam = CASE WHEN j < 30 THEN 0 ELSE 1 END
+  GROUP BY doc_id, j
+), sims AS (
+  SELECT doc_id, sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS simhash
+  FROM votes GROUP BY doc_id
+), b AS (
+  SELECT doc_id, simhash, simhash >> 44 AS bucket FROM sims
+)
+SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+FROM b x JOIN b y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+"""
+
 DOC_FINGERPRINT_DET_SQL = r"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
@@ -983,6 +1029,15 @@ def _q_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return minhash_lsh_pairs(docs, jaccard_threshold=0.5)
 
 
+def _q_simhash_near_dups_det(spark: SparkSession, sf: str) -> DataFrame:
+    """30-bit polynomial simhash (dedup.simhash_poly) — the SQL-replayable
+    twin of simhash_near_dups."""
+    from goffish_v3_spark.operators.dedup import simhash_near_duplicates
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return simhash_near_duplicates(docs, hash_fn="poly")
+
+
 def _q_minhash_pairs_det(spark: SparkSession, sf: str) -> DataFrame:
     """The same LSH pipeline in hash_fn='poly' mode — every stage (shingle
     hash, permutations, band buckets) SQL-reproducible, so the driver
@@ -1167,6 +1222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint_det": _q_doc_fingerprint_det,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "simhash_near_dups": _q_simhash_near_dups,
+        "simhash_near_dups_det": _q_simhash_near_dups_det,
         "ann_cosine_top3": _q_ann_topk,
         "ivf_ann_exhaustive_top3": _q_ivf_ann_topk,
         "lsh_ann_top3": _q_lsh_ann_topk,
@@ -1213,6 +1269,7 @@ def oracle_sql() -> dict[str, str]:
         # minhash_lsh_pairs_det of the full LSH pipeline.
         "doc_fingerprint_det": DOC_FINGERPRINT_DET_SQL,
         "minhash_lsh_pairs_det": MINHASH_DET_SQL,
+        "simhash_near_dups_det": SIMHASH_DET_SQL,
         "ann_cosine_top3": ANN_TOPK_SQL,
         "ivf_ann_exhaustive_top3": ANN_TOPK_SQL,
         # lsh_ann_top3: approximate by design; recall vs exact asserted in pytest

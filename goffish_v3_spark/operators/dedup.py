@@ -411,6 +411,44 @@ def _simhash_from_hashes(tok_hashes: pd.Series) -> pd.Series:
     return pd.Series(packed.view(np.int64))
 
 
+def simhash_poly(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """60-bit simhash from TWO polynomial token-hash families (base 31 →
+    bits 0–29, base 131 → bits 30–59), pure JVM expressions (no Arrow
+    kernel): per-bit ±1 votes folded with nested higher-order aggregates.
+    Each family contributes 30 bits because text.polyhash values are
+    < 1e9+7 < 2^30; two independent bases restore the discriminative
+    power a single 30-bit hash lacks (selectivity ≈ the 64-bit
+    :func:`simhash` on the test corpus). SQL-reproducible — the
+    oracle-checkable twin of :func:`simhash`."""
+    from goffish_v3_spark.operators.text import polyhash
+
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
+    th1 = F.transform(toks, lambda t: polyhash(t, base=31))
+    th2 = F.transform(toks, lambda t: polyhash(t, base=131))
+
+    def mask(j):
+        # 2^j as a long via pow (shiftleft needs a literal shift); exact
+        # for j ≤ 62 (powers of two are always representable in double)
+        return F.pow(F.lit(2.0), j).cast("long")
+
+    def vote(th, jm):
+        return F.aggregate(
+            th,
+            F.lit(0).cast("long"),
+            lambda a, h: a + F.when(h.bitwiseAND(mask(jm)) != 0, 1).otherwise(-1),
+        )
+
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(59)),
+        lambda j: F.when(
+            F.when(j < 30, vote(th1, j)).otherwise(vote(th2, j - 30)) > 0,
+            mask(j),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    sim = F.aggregate(bits, F.lit(0).cast("long"), lambda a, x: a + x)
+    return df.withColumn("simhash", sim)
+
+
 def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append a ``simhash`` long column.
 
@@ -428,12 +466,23 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def simhash_near_duplicates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", prefix_bits: int = 16
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_bits: int = 16,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs: equal ``prefix_bits`` simhash prefix, then
-    Hamming distance via bit_count(xor) ≤ 3."""
-    s = simhash(df, text_col).select(F.col(id_col).alias("_id"), "simhash")
-    s = s.withColumn("bucket", F.shiftrightunsigned("simhash", 64 - prefix_bits))
+    Hamming distance via bit_count(xor) ≤ 3. ``hash_fn="poly"`` uses the
+    60-bit :func:`simhash_poly` (SQL-reproducible) instead of the 64-bit
+    xxhash64 simhash."""
+    if hash_fn == "poly":
+        s = simhash_poly(df, text_col).select(F.col(id_col).alias("_id"), "simhash")
+        width = 60
+    else:
+        s = simhash(df, text_col).select(F.col(id_col).alias("_id"), "simhash")
+        width = 64
+    s = s.withColumn("bucket", F.shiftrightunsigned("simhash", width - prefix_bits))
     a = s.alias("a")
     b = s.select(
         F.col("_id").alias("_id_b"), F.col("simhash").alias("sim_b"), "bucket"

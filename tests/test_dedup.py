@@ -92,6 +92,27 @@ def test_simhash_near_duplicates(spark):
     assert all({a, b} <= {1, 2, 3} for a, b in got)
 
 
+def test_simhash_poly_mode_near_duplicates(spark):
+    """hash_fn='poly' (60-bit two-family SQL-reproducible simhash) finds
+    the fixture's near-dups with the same selectivity shape as xxhash64,
+    and is deterministic across invocations."""
+    got = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_duplicates(
+            _docs(spark), prefix_bits=4, hash_fn="poly"
+        ).collect()
+    }
+    assert (1, 2) in got  # identical text → identical simhash
+    assert all({a, b} <= {1, 2, 3} for a, b in got)
+    again = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_duplicates(
+            _docs(spark), prefix_bits=4, hash_fn="poly"
+        ).collect()
+    }
+    assert again == got
+
+
 def test_embedding_near_duplicates(spark):
     rows = [
         (1, [1.0, 0.0, 0.0]),
