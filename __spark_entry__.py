@@ -614,6 +614,66 @@ UNION ALL SELECT id_a, id_b, jaccard FROM intra
 
 MINHASH_DET_SQL = _minhash_det_sql(threshold=0.5)
 
+
+def _lsh_ann_sql(k=3, dim=64, n_planes=8, n_tables=4, seed=42) -> str:
+    """Exact SQL replay of similarity.lsh_topk: the SAME seeded-numpy
+    hyperplanes inlined as literals (the operator is fully deterministic —
+    seed 42 — so 'approximate by design' only means approximate vs exact
+    ANN, not irreproducible), sign-pattern buckets computed with the same
+    sequential left-to-right double fold as the Spark ``dot`` (bit-identical
+    IEEE ops, so bucket signs match exactly), candidate union over tables,
+    exact cosine rescoring at 6dp + row_number."""
+    import numpy as np
+
+    rows = []
+    for t in range(n_tables):
+        planes = np.random.default_rng(seed + 1000 * t).standard_normal(
+            (n_planes, dim)
+        )
+        for p in range(n_planes):
+            vec = ", ".join(repr(float(x)) for x in planes[p])
+            rows.append(f"({t}, {p}, [{vec}]::DOUBLE[])")
+    values = ",\n".join(rows)
+    dot = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {dim}), i -> v[i] * p.vec[i])), "
+        "(a, x) -> a + x)"
+    )
+    return f"""
+WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+planes(tbl, pl, vec) AS (VALUES
+{values}
+),
+qb AS (
+  SELECT q.vec_id, p.tbl,
+         sum(CASE WHEN {dot} >= 0 THEN CAST(1 AS BIGINT) << p.pl ELSE 0 END) AS bucket
+  FROM q CROSS JOIN planes p GROUP BY q.vec_id, p.tbl
+),
+cb AS (
+  SELECT c.vec_id, p.tbl,
+         sum(CASE WHEN {dot} >= 0 THEN CAST(1 AS BIGINT) << p.pl ELSE 0 END) AS bucket
+  FROM c CROSS JOIN planes p GROUP BY c.vec_id, p.tbl
+),
+cand AS (
+  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+  FROM qb JOIN cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+  WHERE qb.vec_id <> cb.vec_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         round(list_cosine_similarity(q.v, c.v), 6) AS sim
+  FROM cand JOIN q ON q.vec_id = cand.query_id JOIN c ON c.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, sim, rk FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rk
+  FROM scored
+) WHERE rk <= {k}
+"""
+
+
+LSH_ANN_SQL = _lsh_ann_sql()
+
 # 60-bit two-family polynomial simhash replay (operators/dedup.py
 # simhash_poly: base 31 → bits 0-29, base 131 → bits 30-59;
 # simhash_near_duplicates(hash_fn='poly'), prefix_bits=16 → >> 44)
@@ -1272,7 +1332,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups_det": SIMHASH_DET_SQL,
         "ann_cosine_top3": ANN_TOPK_SQL,
         "ivf_ann_exhaustive_top3": ANN_TOPK_SQL,
-        # lsh_ann_top3: approximate by design; recall vs exact asserted in pytest
+        # lsh_ann_top3: approximate vs exact ANN but fully deterministic
+        # (seed 42) — replayed exactly with the same plane literals
+        "lsh_ann_top3": LSH_ANN_SQL,
         "embedding_near_dups": EMB_NEAR_DUP_SQL,
         # media_features: synthesized-in-Spark binary payloads; rows-only
         "events_hourly_window_stream": EVENTS_WINDOW_SQL,
