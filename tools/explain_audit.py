@@ -58,6 +58,9 @@ AUDIT: dict[str, dict] = {
     # shape is asserted in its own tests (bucket caps, linear star mode).
     "ngram_jaccard_pairs": {"pruned": [("documents", 3)]},
     "simhash_near_dups": {"pruned": [("documents", 3)]},
+    "simhash_near_dups_det": {"pruned": [("documents", 3)]},
+    "doc_fingerprint_det": {"pruned": [("documents", 3)]},
+    "lsh_ann_top3": {"bcast": 1},
     "ann_cosine_top3": {"bcast": 1},
     "ivf_ann_exhaustive_top3": {},
     "lsh_ann_top3": {},
