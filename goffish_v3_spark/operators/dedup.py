@@ -57,13 +57,9 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingle_hashes(text_col: str, shingle: int = 3) -> "F.Column":
-    """xxhash64 of each ``shingle``-word shingle — built-in, JVM-side."""
-    toks = tokens(F.col(text_col))
-    n = F.size(toks)
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(n - shingle, F.lit(0))),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, shingle))),
-    )
+    """xxhash64 of each ``shingle``-word shingle — built-in, JVM-side;
+    shingle construction shared via string_shingles/text.shingles."""
+    return F.transform(string_shingles(text_col, shingle), lambda s: F.xxhash64(s))
 
 
 def _minhash_perms(num_hashes: int, hashes) -> list:
@@ -276,13 +272,11 @@ def minhash_lsh_pairs(
 
 def string_shingles(text_col: str, shingle: int = 3) -> "F.Column":
     """Word ``shingle``-grams as strings (no hashing — DuckDB-expressible,
-    used by the exact similarity join; the MinHash path hashes them)."""
-    toks = tokens(F.col(text_col))
-    n = F.size(toks)
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(n - shingle, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, shingle)),
-    )
+    used by the exact similarity join; the MinHash path hashes them).
+    Delegates to text.shingles, the single canonical shingle expression."""
+    from goffish_v3_spark.operators.text import shingles
+
+    return shingles(F.col(text_col), shingle)
 
 
 def jaccard_similarity_join(
@@ -423,30 +417,43 @@ def simhash_poly(df: DataFrame, text_col: str = "text") -> DataFrame:
     from goffish_v3_spark.operators.text import polyhash
 
     toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
-    th1 = F.transform(toks, lambda t: polyhash(t, base=31))
-    th2 = F.transform(toks, lambda t: polyhash(t, base=131))
 
     def mask(j):
         # 2^j as a long via pow (shiftleft needs a literal shift); exact
         # for j ≤ 62 (powers of two are always representable in double)
         return F.pow(F.lit(2.0), j).cast("long")
 
-    def vote(th, jm):
-        return F.aggregate(
-            th,
-            F.lit(0).cast("long"),
-            lambda a, h: a + F.when(h.bitwiseAND(mask(jm)) != 0, 1).otherwise(-1),
+    def bitsof(h):
+        # ±1 vote vector for one token hash
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(29)),
+            lambda j: F.when(h.bitwiseAND(mask(j)) != 0, F.lit(1).cast("long")).otherwise(
+                F.lit(-1).cast("long")
+            ),
         )
 
-    bits = F.transform(
-        F.sequence(F.lit(0), F.lit(59)),
-        lambda j: F.when(
-            F.when(j < 30, vote(th1, j)).otherwise(vote(th2, j - 30)) > 0,
-            mask(j),
-        ).otherwise(F.lit(0).cast("long")),
-    )
-    sim = F.aggregate(bits, F.lit(0).cast("long"), lambda a, x: a + x)
-    return df.withColumn("simhash", sim)
+    def family(base: int, offset: int):
+        """Packed 30 bits (shifted by ``offset``) for one hash family — the
+        token-hash array and the vote array each appear exactly ONCE as an
+        expression subtree (HOF lambdas defeat Catalyst subexpression
+        elimination, so a naive per-bit aggregate would recompute the whole
+        polyhash pass 30×; one accumulate pass + an indexed transform over
+        the materialized vote array keeps it O(tokens · 30) per row)."""
+        th = F.transform(toks, lambda t: polyhash(t, base=base))
+        votes = F.aggregate(
+            th,
+            F.array_repeat(F.lit(0).cast("long"), 30),
+            lambda acc, h: F.zip_with(acc, bitsof(h), lambda a, b: a + b),
+        )
+        packed = F.transform(
+            votes,
+            lambda v, i: F.when(v > 0, mask(i + offset)).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+        return F.aggregate(packed, F.lit(0).cast("long"), lambda a, x: a + x)
+
+    return df.withColumn("simhash", family(31, 0) + family(131, 30))
 
 
 def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -476,6 +483,8 @@ def simhash_near_duplicates(
     Hamming distance via bit_count(xor) ≤ 3. ``hash_fn="poly"`` uses the
     60-bit :func:`simhash_poly` (SQL-reproducible) instead of the 64-bit
     xxhash64 simhash."""
+    if hash_fn not in ("xxhash64", "poly"):
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'poly', got {hash_fn!r}")
     if hash_fn == "poly":
         s = simhash_poly(df, text_col).select(F.col(id_col).alias("_id"), "simhash")
         width = 60

@@ -112,18 +112,29 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("quality_score", F.round(score, 6))
 
 
+def shingles(text: Column | str, window: int) -> Column:
+    """All ``window``-token shingles as strings (a doc shorter than the
+    window yields its single whole-doc shingle). THE canonical shingle
+    builder — fingerprinting and the dedup operators all share it, and the
+    DuckDB oracle twins replicate exactly this expression; keep any change
+    mirrored there."""
+    toks = tokens(text)
+    n = F.size(toks)
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(n - window, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, window)),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", window: int = 8) -> DataFrame:
     """Append a 64-bit document fingerprint: min of xxhash64 over the
     document's ``window``-token shingles (a winnowing-style rolling-hash
     sketch, computed fully JVM-side)."""
-    toks = tokens(F.col(text_col))
-    n = F.size(toks)
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.greatest(n - window, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, window)),
-    )
     return df.withColumn(
-        "fingerprint", F.array_min(F.transform(shingles, lambda s: F.xxhash64(s)))
+        "fingerprint",
+        F.array_min(
+            F.transform(shingles(F.col(text_col), window), lambda s: F.xxhash64(s))
+        ),
     )
 
 
@@ -149,13 +160,9 @@ def fingerprint_rolling(
     shingle hash instead of xxhash64. Slightly weaker as a hash (mod-p
     polynomial vs 64-bit avalanche) but bit-reproducible across engines —
     use where the fingerprint must be auditable outside Spark."""
-    toks = tokens(F.col(text_col))
-    n = F.size(toks)
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.greatest(n - window, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, window)),
-    )
     return df.withColumn(
         "fingerprint",
-        F.array_min(F.transform(shingles, lambda s: polyhash(s, mod))),
+        F.array_min(
+            F.transform(shingles(F.col(text_col), window), lambda s: polyhash(s, mod))
+        ),
     )

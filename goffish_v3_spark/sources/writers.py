@@ -31,6 +31,19 @@ from pyspark.sql import functions as F
 from goffish_v3_spark.plans.partitioner import vertex_part
 
 
+def _sinkless(edges: DataFrame, empty_type: str) -> DataFrame:
+    """(vid, sinks=empty) for vertices that only ever appear as a dst —
+    the reference materializes these as sink-less Vertex objects, so every
+    writer must emit a line for them. ``empty_type`` is the array type of
+    the writer's sinks column."""
+    return (
+        edges.select(F.col("dst").alias("vid"))
+        .distinct()
+        .join(edges.select(F.col("src").alias("vid")).distinct(), "vid", "left_anti")
+        .withColumn("sinks", F.array().cast(empty_type))
+    )
+
+
 def _vertex_sinks(edges: DataFrame) -> DataFrame:
     """(vid, sinks sorted-array) covering EVERY vertex — sink-less vertices
     (appearing only as a dst) get an empty array, matching the reference's
@@ -38,13 +51,7 @@ def _vertex_sinks(edges: DataFrame) -> DataFrame:
     srcs = edges.groupBy(F.col("src").alias("vid")).agg(
         F.sort_array(F.collect_list("dst")).alias("sinks")
     )
-    lonely = (
-        edges.select(F.col("dst").alias("vid"))
-        .distinct()
-        .join(edges.select(F.col("src").alias("vid")).distinct(), "vid", "left_anti")
-        .withColumn("sinks", F.array().cast("array<long>"))
-    )
-    return srcs.unionByName(lonely)
+    return srcs.unionByName(_sinkless(edges, "array<long>"))
 
 
 def write_adjacency_list(edges: DataFrame, path: str) -> None:
@@ -100,7 +107,10 @@ def write_full_info(edges: DataFrame, path: str, num_parts: int) -> None:
     pre-computed-subgraphs format. One shuffle to compute sgids, one
     broadcast-ish join to annotate sinks, one groupBy(src) to assemble
     lines."""
-    sg = subgraph_ids(edges, num_parts)
+    # materialize once: sg feeds both the sink-annotation join and the final
+    # per-vertex join — unmaterialized, the applyInPandas local-WCC pass
+    # (the expensive stage) would execute twice
+    sg = subgraph_ids(edges, num_parts).localCheckpoint(eager=True)
     e = edges.select("src", "dst")
     annotated = (
         e.join(sg.select(F.col("vid").alias("dst"), F.col("sgid").alias("dst_sgid")),
@@ -117,14 +127,7 @@ def write_full_info(edges: DataFrame, path: str, num_parts: int) -> None:
     per_src = annotated.groupBy(F.col("src").alias("vid")).agg(
         F.sort_array(F.collect_list("s")).alias("sinks")
     )
-    lonely = (
-        e.select(F.col("dst").alias("vid"))
-        .distinct()
-        .join(e.select(F.col("src").alias("vid")).distinct(), "vid", "left_anti")
-        .withColumn(
-            "sinks", F.array().cast("array<struct<dst:long,dst_sgid:long,dst_part:int>>")
-        )
-    )
+    lonely = _sinkless(e, "array<struct<dst:long,dst_sgid:long,dst_part:int>>")
     lines = (
         per_src.unionByName(lonely)
         .join(sg, "vid", "left")
@@ -170,11 +173,8 @@ def write_json_lines(edges: DataFrame, path: str, num_parts: int) -> None:
             F.collect_list(F.struct(F.col("dst").alias("sink"), F.col("w")))
         ).alias("es")
     )
-    lonely = (
-        e.select(F.col("dst").alias("vid"))
-        .distinct()
-        .join(e.select(F.col("src").alias("vid")).distinct(), "vid", "left_anti")
-        .withColumn("es", F.array().cast("array<struct<sink:long,w:double>>"))
+    lonely = _sinkless(e, "array<struct<sink:long,w:double>>").withColumnRenamed(
+        "sinks", "es"
     )
     # [[sink,eid,eval],…] with integer sink/eid (a "3.0" literal would cast
     # to NULL in the reader) and w as-is

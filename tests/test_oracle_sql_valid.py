@@ -19,15 +19,14 @@ TABLES = (
 
 
 def _entry():
-    import importlib.util
+    import sys
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    spec = importlib.util.spec_from_file_location(
-        "spark_entry_for_sql_test", os.path.join(here, "__spark_entry__.py")
-    )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return mod
+    if here not in sys.path:
+        sys.path.insert(0, here)
+    import __spark_entry__  # same loader style as tools/check_oracles.py
+
+    return __spark_entry__
 
 
 def test_every_oracle_sql_binds_in_duckdb():

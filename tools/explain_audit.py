@@ -63,7 +63,6 @@ AUDIT: dict[str, dict] = {
     "lsh_ann_top3": {"bcast": 1},
     "ann_cosine_top3": {"bcast": 1},
     "ivf_ann_exhaustive_top3": {},
-    "lsh_ann_top3": {},
     "embedding_near_dups": {},
     "events_sessionize": {},
 }
