@@ -676,7 +676,8 @@ LSH_ANN_SQL = _lsh_ann_sql()
 
 # 60-bit two-family polynomial simhash replay (operators/dedup.py
 # simhash_poly: base 31 → bits 0-29, base 131 → bits 30-59;
-# simhash_near_duplicates(hash_fn='poly'), prefix_bits=16 → >> 44)
+# simhash_near_duplicates(hash_fn='poly') with lossless 4-block Charikar
+# banding: 15-bit blocks, any Hamming≤3 pair agrees exactly on ≥1 block)
 SIMHASH_DET_SQL = r"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS t
@@ -711,12 +712,14 @@ WITH toks AS (
 ), sims AS (
   SELECT doc_id, sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS simhash
   FROM votes GROUP BY doc_id
-), b AS (
-  SELECT doc_id, simhash, simhash >> 44 AS bucket FROM sims
+), bands AS (
+  SELECT doc_id, simhash, j AS band, (simhash >> (j * 15)) & 32767 AS key
+  FROM sims CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)
 )
-SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
        CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
-FROM b x JOIN b y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+FROM bands x JOIN bands y
+  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
 WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
 """
 
