@@ -63,9 +63,18 @@ def pagerank_with_info(
     out-degree exceeds it get a join salt — their state row is replicated
     across ``num_salts`` so the hub's adjacency, which plain src-hash
     partitioning would hand to ONE sort-merge-join task, spreads over
-    ``num_salts`` tasks. Cold keys keep the plain path (salt 0). Results are
-    identical either way (sums reassociate) and the step still references
-    state exactly once, so superstep chaining stays legal.
+    ``num_salts`` tasks. Each stage activates only when its axis actually
+    has hubs; cold keys keep the plain path (salt 0). Results are identical
+    either way (sums reassociate) and the step still references state
+    exactly once, so superstep chaining stays legal.
+
+    **Measured guidance (r3/r4, BENCH/BASELINE.md "hub salting"):** leave
+    this OFF by default. Spark's map-side partial aggregation already
+    bounds in-degree-hub reducer fan-in, and at local[32] the salted plan
+    ran 0.6–0.9× the unsalted one on every fixture tried, including a
+    purpose-built 2M-out-degree hub. Enabling it emits a UserWarning. It
+    exists for the regime where one straggler join task provably dominates
+    a superstep wave (profile first).
 
     ``dense_ids`` remaps the (64-bit, xxhash64-range) vertex ids to dense
     int32 before the loop and back after: every per-superstep row (adjacency
@@ -173,13 +182,27 @@ def pagerank_with_info(
     # Results are identical either way (sums reassociate); composes with AQE
     # skew splitting, which handles moderate skew without being asked.
     adj_s = None
-    hot_src_list: list[int] = []
+    hot_src_df = None
+    has_hot_dst = False
     if salt_threshold is not None:
+        import warnings
+
         from goffish_v3_spark.plans.partitioner import heavy_keys
 
-        hot_dst = F.broadcast(
-            heavy_keys(e, "dst", salt_threshold).withColumnRenamed("dst", "_hd")
+        warnings.warn(
+            "explicit hub salting (salt_threshold=...) measured 0.6-0.9x "
+            "of the UNSALTED plan on every fixture tried at local[32] "
+            "(BENCH/BASELINE.md 'hub salting' table): map-side partial "
+            "aggregation already bounds in-degree-hub fan-in, and AQE "
+            "skew-join handles moderate join skew without being asked. "
+            "Keep it off unless a profile shows one straggler join task "
+            "dominating a superstep wave.",
+            stacklevel=2,
         )
+        hot_dst_plan = heavy_keys(e, "dst", salt_threshold).withColumnRenamed(
+            "dst", "_hd"
+        )
+        has_hot_dst = hot_dst_plan.limit(1).count() > 0
         hot_src_list = [
             r["src"]
             for r in outdeg.filter(F.col("deg") > salt_threshold)
@@ -189,13 +212,20 @@ def pagerank_with_info(
         if len(hot_src_list) > 10_000:
             raise ValueError(
                 f"{len(hot_src_list)} out-degree hubs above salt_threshold="
-                f"{salt_threshold}; raise the threshold — the hub list is "
-                "embedded in the plan and must stay small"
+                f"{salt_threshold}; raise the threshold — the hub dimension "
+                "is broadcast to every task and must stay small"
             )
         if hot_src_list:
+            # tiny driver-built hub dimension (severed from e's lineage —
+            # e is unpersisted before the loop) broadcast-joined wherever a
+            # hub tag is needed, instead of an isin() literal list embedded
+            # chain_every× into every chained plan (ADVICE r3)
+            hot_src_df = spark.createDataFrame(
+                [(int(v),) for v in hot_src_list], "hsrc long"
+            )
             jsalt = (
                 F.when(
-                    F.col("src").isin(hot_src_list),
+                    F.col("hsrc").isNotNull(),
                     F.pmod(F.xxhash64("dst"), F.lit(num_salts)),
                 )
                 .otherwise(F.lit(0))
@@ -203,6 +233,10 @@ def pagerank_with_info(
             )
         else:
             jsalt = F.lit(0).cast("int")
+        # each salting stage activates ONLY when its skew axis has hubs: an
+        # unconditional two-stage (dst, asalt) -> dst aggregation re-shuffles
+        # every contribution row a second time per superstep — measured as
+        # the entire salted-mode loss on the out-hub fixture (VERDICT r3 #1)
         asalt = (
             F.when(
                 F.col("_hd").isNotNull(),
@@ -210,12 +244,24 @@ def pagerank_with_info(
             )
             .otherwise(F.lit(0))
             .cast("int")
+            if has_hot_dst
+            else F.lit(0).cast("int")
         )
         # built straight from the un-materialized adjacency plan — salted
         # mode persists ONE adjacency (adj_s), not adj + adj_s
+        tagged = adj_plan
+        if has_hot_dst:
+            tagged = tagged.join(
+                F.broadcast(hot_dst_plan), tagged.dst == F.col("_hd"), "left"
+            )
+        if hot_src_df is not None:
+            tagged = tagged.join(
+                F.broadcast(hot_src_df), tagged.src == F.col("hsrc"), "left"
+            )
         adj_s = (
-            adj_plan.join(hot_dst, adj_plan.dst == F.col("_hd"), "left")
-            .select("src", "dst", "deg", jsalt.alias("jsalt"), asalt.alias("asalt"))
+            tagged.select(
+                "src", "dst", "deg", jsalt.alias("jsalt"), asalt.alias("asalt")
+            )
             .repartition(n_shuffle, "src", "jsalt")
             .sortWithinPartitions("src", "jsalt")
             .persist()
@@ -237,27 +283,39 @@ def pagerank_with_info(
             )
         else:
             # one state reference: hub states replicated across jsalt by an
-            # explode, then a single (src, jsalt) join against the salted
-            # adjacency and the two-stage (dst, asalt) → dst aggregation
-            if hot_src_list:
+            # explode (hub membership tagged via a broadcast join against
+            # the tiny hub dimension, not an isin literal list), then a
+            # single (src, jsalt) join against the salted adjacency
+            if hot_src_df is not None:
                 salt_arr = F.when(
-                    F.col("vid").isin(hot_src_list),
+                    F.col("hsrc").isNotNull(),
                     F.sequence(F.lit(0), F.lit(num_salts - 1)),
                 ).otherwise(F.array(F.lit(0)))
-                state_exp = state.withColumn("jsalt", F.explode(salt_arr))
+                state_exp = (
+                    state.join(
+                        F.broadcast(hot_src_df), state.vid == F.col("hsrc"), "left"
+                    )
+                    .withColumn("jsalt", F.explode(salt_arr))
+                    .drop("hsrc")
+                )
             else:
                 state_exp = state.withColumn("jsalt", F.lit(0).cast("int"))
-            contrib = (
-                state_exp.join(
-                    adj_s,
-                    (state_exp.vid == adj_s.src) & (state_exp.jsalt == adj_s.jsalt),
+            joined = state_exp.join(
+                adj_s,
+                (state_exp.vid == adj_s.src) & (state_exp.jsalt == adj_s.jsalt),
+            ).select("dst", "asalt", (F.col("rank") / F.col("deg")).alias("c"))
+            if has_hot_dst:
+                # two-stage (dst, asalt) → dst aggregation bounds per-reducer
+                # fan-in for in-degree hubs; only worth its extra shuffle
+                # when such hubs exist
+                contrib = (
+                    joined.groupBy("dst", "asalt")
+                    .agg(F.sum("c").alias("_p"))
+                    .groupBy("dst")
+                    .agg(F.sum("_p").alias("s"))
                 )
-                .select("dst", "asalt", (F.col("rank") / F.col("deg")).alias("c"))
-                .groupBy("dst", "asalt")
-                .agg(F.sum("c").alias("_p"))
-                .groupBy("dst")
-                .agg(F.sum("_p").alias("s"))
-            )
+            else:
+                contrib = joined.groupBy("dst").agg(F.sum("c").alias("s"))
         if fixed_iterations is not None:
             new_state = vdim.join(contrib, vdim.vid == contrib.dst, "left").select(
                 "vid",
