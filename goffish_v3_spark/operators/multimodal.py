@@ -83,7 +83,58 @@ def _ffmpeg_frame(payload: bytes, ts_ms: int) -> bytes:
         capture_output=True,
         check=True,
     )
+    if not proc.stdout:
+        # ffmpeg exits 0 with empty stdout when -ss lands past EOF
+        raise ValueError(f"ffmpeg produced no frame at {ts_ms} ms")
     return proc.stdout
+
+
+def _split_ppm_stream(buf: bytes) -> list[bytes]:
+    """Split an image2pipe PPM stream into individual P6 payloads by walking
+    header + pixel-block lengths (pixel data may itself contain b'P6', so a
+    delimiter split would corrupt frames)."""
+    frames, pos = [], 0
+    while pos < len(buf):
+        if buf[pos : pos + 2] != b"P6":
+            raise ValueError(f"PPM stream desync at byte {pos}")
+        # header fits well inside 64 bytes; never re-split the whole tail
+        parts = buf[pos : pos + 64].split(b"\n", 3)
+        if len(parts) < 4:
+            raise ValueError("truncated PPM stream header")
+        w, h = (int(x) for x in parts[1].split())
+        hdr_len = len(parts[0]) + len(parts[1]) + len(parts[2]) + 3
+        total = hdr_len + w * h * 3
+        if pos + total > len(buf):
+            raise ValueError("truncated PPM stream pixel data")
+        frames.append(buf[pos : pos + total])
+        pos += total
+    return frames
+
+
+def _ffmpeg_frames(payload: bytes, every_ms: int, max_frames: int) -> list[bytes]:
+    """Demux up to ``max_frames`` PPM frames at a ``every_ms`` cadence in ONE
+    ffmpeg invocation (fps filter + image2pipe), instead of re-piping the
+    whole payload once per frame (ADVICE r3: O(frames × payload) I/O).
+    Raises when ffmpeg returns no frames for a non-empty payload."""
+    import subprocess
+
+    proc = subprocess.run(
+        [
+            _ffmpeg(), "-v", "error", "-i", "pipe:0",
+            "-vf", f"fps=1000/{int(every_ms)}",
+            "-frames:v", str(int(max_frames)),
+            "-f", "image2pipe", "-vcodec", "ppm", "pipe:1",
+        ],
+        input=payload,
+        capture_output=True,
+        check=True,
+    )
+    frames = _split_ppm_stream(proc.stdout)
+    if not frames and payload:
+        raise ValueError(
+            "ffmpeg produced no frames for a non-empty video payload"
+        )
+    return frames
 
 
 # ---------------------------------------------------------------------------
@@ -277,14 +328,27 @@ def _decode_features(payload: bytes, codec: str, kind: str, out_dim: int, decode
     if codec in ("fake/v1", "raw/v0"):
         # honest fallback for payloads that are not a real format
         return _fake_decode(payload, out_dim)
-    if kind == "image" and _pil() is not None:
-        return _image_features(_pil_decode(payload), out_dim)
-    if kind == "video" and _ffmpeg() is not None:
-        return _image_features(decode_ppm(_ffmpeg_frame(payload, 0)), out_dim)
+    if kind == "image":
+        if _pil() is not None:
+            return _image_features(_pil_decode(payload), out_dim)
+        raise NotImplementedError(
+            f"image codec {codec!r} requires Pillow — not installed in this "
+            "environment"
+        )
+    if kind == "video":
+        if _ffmpeg() is not None:
+            return _image_features(decode_ppm(_ffmpeg_frame(payload, 0)), out_dim)
+        raise NotImplementedError(
+            f"video codec {codec!r} requires an ffmpeg binary on PATH — not "
+            "installed in this environment"
+        )
+    # e.g. an audio row with codec 'mp3': no decode path exists for the
+    # kind/codec combination at all — say so instead of blaming a dependency
+    # that may well be installed (ADVICE r3)
     raise NotImplementedError(
-        f"codec {codec!r} requires "
-        + ("Pillow" if kind == "image" else "ffmpeg")
-        + " — not installed in this environment"
+        f"no decode path for kind={kind!r} codec={codec!r} (built-in: ppm, "
+        "wav, fake/v1, raw/v0; other image codecs via Pillow, video via "
+        "ffmpeg)"
     )
 
 
@@ -341,17 +405,21 @@ def sample_frames(
                 if kind != "video":
                     continue
                 n = min(max_frames, max(1, int(dur) // every_ms))
-                for i in range(n):
+                if decode == "real":
+                    # one ffmpeg invocation per video (ADVICE r3); may
+                    # return < n frames when the stream is shorter than
+                    # duration_ms claims — emit what actually decoded
+                    frames = _ffmpeg_frames(bytes(payload), every_ms, n)[:n]
+                else:
+                    frames = [
+                        hashlib.sha256(bytes(payload) + i.to_bytes(4, "big")).digest()
+                        for i in range(n)
+                    ]
+                for i, frame in enumerate(frames):
                     rows["media_id"].append(mid)
                     rows["frame_idx"].append(i)
                     rows["frame_ts_ms"].append(i * every_ms)
-                    rows["frame"].append(
-                        _ffmpeg_frame(bytes(payload), i * every_ms)
-                        if decode == "real"
-                        else hashlib.sha256(
-                            bytes(payload) + i.to_bytes(4, "big")
-                        ).digest()
-                    )
+                    rows["frame"].append(frame)
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(

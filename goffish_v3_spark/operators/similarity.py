@@ -169,9 +169,34 @@ def train_ivf_centroids(
         counts = np.bincount(assign, minlength=len(C))
         empty = counts == 0
         if empty.any():
-            # deterministic reseed: farthest points from their centroid
-            far = np.argsort(sims[np.arange(len(X)), assign])[: int(empty.sum())]
-            newC[empty] = X[far]
+            # deterministic reseed: farthest points from their centroid,
+            # skipping points coincident with a surviving centroid or an
+            # already-picked reseed — otherwise two lists can end up with
+            # identical centroids (wasted list, argmax tie by index;
+            # ADVICE r3)
+            need = int(empty.sum())
+            far_order = np.argsort(sims[np.arange(len(X)), assign])
+            surv = newC[~empty]
+            surv_u = surv / np.maximum(
+                np.linalg.norm(surv, axis=1, keepdims=True), 1e-12
+            )
+            picked: list[np.ndarray] = []
+            for idx in far_order:
+                x = X[idx]
+                if len(surv_u) and float((surv_u @ x).max()) > 1 - 1e-9:
+                    continue
+                if any(float(p @ x) > 1 - 1e-9 for p in picked):
+                    continue
+                picked.append(x)
+                if len(picked) == need:
+                    break
+            # fewer distinct directions than lists: fill the remainder with
+            # the farthest points regardless (duplicates unavoidable then)
+            i = 0
+            while len(picked) < need:
+                picked.append(X[far_order[i % len(far_order)]])
+                i += 1
+            newC[empty] = np.array(picked)
         newC /= np.maximum(np.linalg.norm(newC, axis=1, keepdims=True), 1e-12)
         if np.allclose(newC, C):
             break

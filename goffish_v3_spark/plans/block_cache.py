@@ -82,7 +82,9 @@ def write_blocks(blocks: DataFrame, path: str) -> None:
 
 def _block_files(path: str, part: int):
     """List the parquet file(s) for one partition plus a freshness token
-    (filename, size, mtime) for the first file; supports plain paths and
+    folding EVERY file's (name, size, mtime) — not just the first, so a
+    partial overwrite that adds/replaces one file of several can never be
+    served from a stale cache entry (ADVICE r3). Supports plain paths and
     URI schemes (hdfs://, s3://, …) via pyarrow.fs so executors on a real
     cluster can read a DFS block store."""
     if "://" in path:
@@ -90,21 +92,21 @@ def _block_files(path: str, part: int):
 
         filesystem, base = pafs.FileSystem.from_uri(path)
         sel = pafs.FileSelector(f"{base}/part={int(part)}", allow_not_found=True)
-        infos = [
-            i for i in filesystem.get_file_info(sel) if i.path.endswith(".parquet")
-        ]
+        infos = sorted(
+            (i for i in filesystem.get_file_info(sel) if i.path.endswith(".parquet")),
+            key=lambda i: i.path,
+        )
         files = [i.path for i in infos]
-        token = (files[0], infos[0].size, infos[0].mtime_ns) if infos else None
+        token = tuple((i.path, i.size, i.mtime_ns) for i in infos) or None
         return filesystem, files, token
 
     import glob
     import os
 
-    files = glob.glob(os.path.join(path, f"part={int(part)}", "*.parquet"))
+    files = sorted(glob.glob(os.path.join(path, f"part={int(part)}", "*.parquet")))
     token = None
     if files:
-        st = os.stat(files[0])
-        token = (files[0], st.st_size, st.st_mtime_ns)
+        token = tuple((f, os.stat(f).st_size, os.stat(f).st_mtime_ns) for f in files)
     return None, files, token
 
 
@@ -124,6 +126,16 @@ def load_block(path: str, part: int) -> CsrBlock | None:
     filesystem, files, token = _block_files(path, part)
     if not files:
         return None
+    if len(files) > 1:
+        # write_blocks emits exactly one 1-row file per part= dir; more than
+        # one means a duplicate part row or a partial overwrite (object
+        # storage) — reading files[0] would silently serve an arbitrary
+        # glob-ordered half of the store (ADVICE r3)
+        raise RuntimeError(
+            f"CSR block store corrupt: {len(files)} parquet files under "
+            f"{path}/part={int(part)} (expected exactly 1); rewrite the "
+            "block store with write_blocks"
+        )
     key = (path, int(part), token)
     blk = _CACHE.get(key)
     if blk is not None:

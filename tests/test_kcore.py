@@ -59,3 +59,47 @@ def test_block_cache_reused_dir_not_stale(spark, tmp_path):
     b = {r.vid: r.core for r in core_numbers(spark, df2, num_parts=4, blocks_dir=d).collect()}
     assert a == core_numbers_oracle(g1)
     assert b == core_numbers_oracle(g2)
+
+
+def test_k_core_changed_only_vs_full_messaging(spark):
+    """k_core's changed-only + cached execution (r4) matches the full
+    re-broadcast cogroup path on a hub-ish graph."""
+    edges = graphs.barabasi_albert(200, m=3, seed=5)
+    df = graphs.to_df(spark, edges)
+    a = {
+        (r.vid, r.deg)
+        for r in k_core(
+            spark, df, k=3, num_parts=4, cache_blocks=False, changed_only=False,
+            chain_every=1,
+        ).collect()
+    }
+    b = {(r.vid, r.deg) for r in k_core(spark, df, k=3, num_parts=4).collect()}
+    assert a == b
+
+
+def test_block_cache_rejects_multi_file_part(spark, tmp_path):
+    """>1 parquet file under one part= dir (duplicate part row / partial
+    overwrite) must raise, not silently serve an arbitrary file (ADVICE r3)."""
+    import glob
+    import shutil
+
+    import pytest
+
+    from goffish_v3_spark.plans.block_cache import clear_cache, load_block, write_blocks
+    from goffish_v3_spark.plans.csr import build_csr_blocks_sym
+
+    d = str(tmp_path / "blocks")
+    blocks = build_csr_blocks_sym(spark, graphs.to_df(spark, graphs.clique(5)), 2)
+    write_blocks(blocks, d)
+    blocks.unpersist()
+    clear_cache()
+    part_dirs = sorted(glob.glob(f"{d}/part=*"))
+    assert part_dirs, "no part dirs written"
+    files = glob.glob(f"{part_dirs[0]}/*.parquet")
+    assert len(files) == 1
+    part = int(part_dirs[0].rsplit("=", 1)[1])
+    assert load_block(d, part) is not None
+    shutil.copy(files[0], files[0].replace(".parquet", "_dup.parquet"))
+    clear_cache()
+    with pytest.raises(RuntimeError, match="corrupt"):
+        load_block(d, part)

@@ -177,3 +177,42 @@ def test_resize_fake_mode_rewrites_metadata_only(spark):
     for r in out:
         if r.kind == "image":
             assert (r.width, r.height) == (32, 32)
+
+
+def test_split_ppm_stream_roundtrip():
+    """image2pipe stream splitting walks header+pixel lengths — pixel bytes
+    that happen to contain b'P6' must not desync the parse."""
+    import numpy as np
+    import pytest
+
+    from goffish_v3_spark.operators.multimodal import (
+        _split_ppm_stream,
+        decode_ppm,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(0)
+    imgs = [
+        rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for h, w in [(4, 6), (3, 3), (8, 2)]
+    ]
+    imgs[0][0, 0] = (80, 54, 10)  # b'P6' inside pixel data
+    stream = b"".join(encode_ppm(p) for p in imgs)
+    frames = _split_ppm_stream(stream)
+    assert len(frames) == 3
+    for f, p in zip(frames, imgs):
+        assert np.array_equal(decode_ppm(f), p)
+    assert _split_ppm_stream(b"") == []
+    with pytest.raises(ValueError):
+        _split_ppm_stream(stream[:-1])
+
+
+def test_decode_features_error_distinguishes_missing_path():
+    """An audio row with an undecodable codec must say 'no decode path', not
+    blame a dependency; image/video name their actual dependency (ADVICE r3)."""
+    import pytest
+
+    from goffish_v3_spark.operators.multimodal import _decode_features
+
+    with pytest.raises(NotImplementedError, match="no decode path"):
+        _decode_features(b"xx", "mp3", "audio", 4, "real")
