@@ -49,6 +49,7 @@ def pagerank_with_info(
     salt_threshold: int | None = None,
     num_salts: int = 32,
     dense_ids: bool = False,
+    partition_metrics: bool = False,
 ) -> tuple[DataFrame, RunInfo]:
     """Run PageRank; return (scores ``(vid, rank)``, RunInfo).
 
@@ -354,6 +355,8 @@ def pagerank_with_info(
             out.select("vid", "rank"), delta <= eps, delta=float(delta), truncated=True
         )
 
+    from goffish_v3_spark.plans.partitioner import vertex_part
+
     loop = SuperstepLoop(
         spark,
         checkpoint_dir=checkpoint_dir,
@@ -361,6 +364,10 @@ def pagerank_with_info(
         max_iter=(fixed_iterations if fixed_iterations is not None else max_iter),
         checkpoint_every=checkpoint_every,
         truncate_every=(chain_every if fixed_iterations is not None else 1),
+        partition_metrics=partition_metrics,
+        # rank state carries no part column; ownership is computable
+        # (plans.partitioner), so per-partition lineage metrics derive it
+        partition_expr=vertex_part(F.col("vid"), n_shuffle),
     )
     info = loop.run(init, step, resume=resume)
     if adj is not None:

@@ -109,6 +109,7 @@ class SuperstepLoop:
         checkpoint_every: int = 1,
         truncate_every: int = 1,
         partition_metrics: bool = False,
+        partition_expr=None,
     ):
         self.spark = spark
         self.checkpoint_dir = checkpoint_dir
@@ -117,6 +118,10 @@ class SuperstepLoop:
         self.checkpoint_every = checkpoint_every
         self.truncate_every = truncate_every
         self.partition_metrics = partition_metrics
+        # per-partition lineage/metrics (north_rule) for states WITHOUT a
+        # materialized part column: a Column expression deriving the
+        # partition from the state row (e.g. vertex_part(vid, P))
+        self.partition_expr = partition_expr
 
     # -- checkpoint layout -------------------------------------------------
     def _state_path(self, superstep: int) -> str:
@@ -148,8 +153,14 @@ class SuperstepLoop:
             }
         ]
         reread = self.spark.read.parquet(path)
-        if self.partition_metrics and "part" in state.columns:
-            for r in reread.groupBy("part").count().collect():
+        part_key = None
+        if self.partition_metrics:
+            if "part" in state.columns:
+                part_key = F.col("part")
+            elif self.partition_expr is not None:
+                part_key = self.partition_expr
+        if part_key is not None:
+            for r in reread.groupBy(part_key.alias("part")).count().collect():
                 mrows.append(
                     {
                         "run_id": self.run_id,

@@ -58,3 +58,36 @@ def test_convergence_stops_early(spark):
     info = SuperstepLoop(spark, max_iter=10).run(init, step)
     assert info.converged
     assert info.supersteps == 3
+
+
+def test_pagerank_partition_metrics_persisted(spark, tmp_path):
+    """north_rule: per-partition lineage + metrics — a checkpointed PageRank
+    run with partition_metrics=True persists per-(superstep, part) row
+    counts next to the state store, readable back as parquet (VERDICT r3 #9)."""
+    from pyspark.sql import functions as F
+
+    from goffish_v3_spark.operators.pagerank import pagerank_with_info
+    from tests import graphs
+
+    df = graphs.to_df(spark, graphs.barabasi_albert(120, m=2, seed=3))
+    scores, info = pagerank_with_info(
+        spark,
+        df,
+        fixed_iterations=3,
+        checkpoint_dir=str(tmp_path),
+        checkpoint_every=1,
+        partition_metrics=True,
+    )
+    n_vertices = scores.count()
+    m = spark.read.parquet(f"{tmp_path}/{info.run_id}/metrics")
+    # one global row (part=-1) per committed superstep
+    assert m.filter(F.col("part") == -1).count() == 3
+    # per-partition rows cover every vertex exactly once per superstep
+    per_part = (
+        m.filter(F.col("part") >= 0)
+        .groupBy("superstep")
+        .agg(F.sum("rows").alias("total"))
+        .collect()
+    )
+    assert len(per_part) == 3
+    assert all(r.total == n_vertices for r in per_part)
