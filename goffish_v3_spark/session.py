@@ -21,20 +21,30 @@ def get_spark(
 ) -> SparkSession:
     """Build (or fetch) a SparkSession tuned for this engine.
 
-    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``).
-    On a real cluster the caller passes master/deploy settings through
-    spark-submit and this function only applies SQL-level conf.
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``) —
+    but ONLY when no master was already submitted: under
+    ``spark-submit --master yarn/k8s`` the submitted master arrives via
+    ``spark.master`` in the system SparkConf, and forcing ``local[*]`` over
+    it would silently turn a cluster job into a single-JVM one. On a real
+    cluster the caller passes master/deploy settings through spark-submit
+    and this function only applies SQL-level conf.
     """
     if master is None:
-        cpus = os.environ.get("SPARK_GRAFT_CPUS")
-        master = f"local[{cpus}]" if cpus else "local[*]"
+        from pyspark import SparkConf
+
+        submitted = SparkConf().get("spark.master", None)
+        if submitted is None:
+            cpus = os.environ.get("SPARK_GRAFT_CPUS")
+            master = f"local[{cpus}]" if cpus else "local[*]"
     if shuffle_partitions is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         shuffle_partitions = int(cpus) if cpus else (os.cpu_count() or 8)
 
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
