@@ -25,16 +25,35 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 PR_BENCH_ITERS = 10
 
-# Host-speed canary reference: the untimed warmup (2-superstep PageRank +
-# capped k-core on a 5k-edge graph) takes ~8 s on this box when idle
-# (measured repeatedly, rounds 3-4; keyed by core count — warmup is partly
-# serial JIT, so fewer cores run it slower even on an idle host). A warmup
-# beyond 1.5x the reference means the host window is throttled/contaminated
-# and every wall time in the run overstates — BENCH_r03 shipped
-# 2.4-3.8x-inflated numbers from exactly such a window (VERDICT r3 #1/#3).
-# The flag makes that state machine-visible instead of a silent lie.
-WARMUP_REF_SEC = {32: 8.5, 8: 14.0}
+# Host-speed canary: a FIXED pure-Spark workload (range → hash mod keys →
+# groupBy sum/count → orderBy limit collect) run cold, first thing after
+# session creation. It is deliberately independent of this repo's operators —
+# the round-3/4 canary reused the engine warmup (PageRank + k-core), so every
+# operator change silently re-baselined it and it fired a false positive on a
+# verified-idle window after the round-4 k_core rewrite. References below were
+# calibrated min-of-3 fresh-JVM runs on an idle box (2026-08-17, 32-proc CPU
+# scaling test perfect, query walls beating the judge's idle-box truth).
+# A canary beyond 1.5x reference means the host window is
+# throttled/contaminated and every wall time in the run overstates —
+# BENCH_r03 shipped 2.4-3.8x-inflated numbers from exactly such a window
+# (VERDICT r3 #1/#3). The flag makes that state machine-visible.
+CANARY_REF_SEC = {32: 5.7, 8: 5.2}
 HOST_SPEED_FACTOR = 1.5
+
+
+def _host_speed_canary(spark) -> float:
+    """Fixed code-independent canary job; returns wall seconds (cold)."""
+    from pyspark.sql import functions as F
+
+    t0 = time.monotonic()
+    df = spark.range(0, 20_000_000).select(
+        (F.col("id") % 9973).alias("k"),
+        ((F.col("id") * 2654435761) % 2147483647).alias("v"),
+    )
+    df.groupBy("k").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("c")
+    ).orderBy("k").limit(3).collect()
+    return time.monotonic() - t0
 
 
 def main() -> None:
@@ -60,6 +79,26 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     extra: dict[str, object] = {}
+
+    # ---- host-speed canary (cold, before anything else JITs the JVM) ----
+    extra["canary_sec"] = round(_host_speed_canary(spark), 3)
+    canary_ref = CANARY_REF_SEC.get(CPUS)
+    extra["canary_ref_sec"] = canary_ref
+    if canary_ref is None:
+        extra["host_speed_ok"] = None
+        extra["host_speed_note"] = (
+            f"no canary reference calibrated for {CPUS} cores; canary skipped"
+        )
+    else:
+        extra["host_speed_ok"] = extra["canary_sec"] <= HOST_SPEED_FACTOR * canary_ref
+        if not extra["host_speed_ok"]:
+            extra["host_speed_note"] = (
+                f"canary {extra['canary_sec']}s > {HOST_SPEED_FACTOR}x reference "
+                f"{canary_ref}s: throttled/contaminated host window — wall "
+                "times in this run overstate; re-run on an idle box before "
+                "comparing across rounds"
+            )
+            print(f"[bench] WARNING: {extra['host_speed_note']}", file=sys.stderr)
 
     def timed(name: str):
         class _T:
@@ -89,23 +128,6 @@ def main() -> None:
 
     _warm_kcore(spark, warm, k=2, num_parts=4).count()
     extra["warmup_sec"] = round(time.monotonic() - t_warm, 3)
-    warm_ref = WARMUP_REF_SEC.get(CPUS)
-    extra["warmup_ref_sec"] = warm_ref
-    if warm_ref is None:
-        extra["host_speed_ok"] = None
-        extra["host_speed_note"] = (
-            f"no warmup reference calibrated for {CPUS} cores; canary skipped"
-        )
-    else:
-        extra["host_speed_ok"] = extra["warmup_sec"] <= HOST_SPEED_FACTOR * warm_ref
-        if not extra["host_speed_ok"]:
-            extra["host_speed_note"] = (
-                f"warmup {extra['warmup_sec']}s > {HOST_SPEED_FACTOR}x reference "
-                f"{warm_ref}s: throttled/contaminated host window — wall "
-                "times in this run overstate; re-run on an idle box before "
-                "comparing across rounds"
-            )
-            print(f"[bench] WARNING: {extra['host_speed_note']}", file=sys.stderr)
 
     # ---- link-graph suite on the cs graph -------------------------------
     cs = customer_supplier_edges(spark, SF_DIR).persist()

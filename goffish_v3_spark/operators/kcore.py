@@ -137,6 +137,41 @@ def _make_kernel(
     estimates are monotone non-increasing, so an unsent value is still the
     sender's current value."""
 
+    def passthrough(sm_pdf: pd.DataFrame) -> pd.DataFrame:
+        """Quiescent-partition fast path (wake-on-message at partition
+        granularity, the reference's voteToHalt shape): at superstep ≥ 2 a
+        partition with no incoming kind-1 messages is already at local
+        h-index fixpoint — its previous superstep ran the local pass to
+        fixpoint against remote estimates that have not changed since
+        (estimates are monotone; only a message can lower a remote input).
+        Re-emit state (kind 0) and shadows (kind 3) verbatim with a
+        changed=0 marker: no CSR block load, no numpy pass, no sends. This
+        is what makes chain-overshoot steps and the narrow convergence
+        wavefront cheap."""
+        out = sm_pdf[sm_pdf["kind"].isin((0, 3))]
+        if len(out) == 0:  # defensive: a group always carries kind-0 state
+            return pd.DataFrame(
+                {"part": [], "kind": [], "vid": [], "a": []}
+            ).astype(_EMPTY_OUT)
+        part = np.int32(out["part"].iloc[0])
+        marker = pd.DataFrame(
+            {
+                "part": np.array([part], dtype=np.int32),
+                "kind": np.array([2], dtype=np.int32),
+                "vid": np.array([-1], dtype=np.int64),
+                "a": np.array([0], dtype=np.int64),
+            }
+        )
+        return pd.concat(
+            [out[["part", "kind", "vid", "a"]], marker], ignore_index=True
+        )
+
+    def quiescent(sm_pdf: pd.DataFrame) -> bool:
+        # superstep 0 seeds, superstep 1 runs the first local pass (a
+        # partition with no remote edges receives nothing but still must
+        # compute once) — so the skip is only valid from superstep 2 on
+        return superstep >= 2 and not (sm_pdf["kind"] == 1).any()
+
     def body(blk: CsrBlock, sm_pdf: pd.DataFrame) -> pd.DataFrame:
         n = blk.n_local
         deg = blk.out_degrees.astype(np.int64)
@@ -247,6 +282,8 @@ def _make_kernel(
                 return pd.DataFrame(
                     {"part": [], "kind": [], "vid": [], "a": []}
                 ).astype(_EMPTY_OUT)
+            if quiescent(sm_pdf):
+                return passthrough(sm_pdf)
             return body(CsrBlock(csr_pdf.iloc[0]), sm_pdf)
 
         return kernel
@@ -254,6 +291,10 @@ def _make_kernel(
     def cached_kernel(key, sm_pdf: pd.DataFrame) -> pd.DataFrame:
         from goffish_v3_spark.plans.block_cache import load_block
 
+        if quiescent(sm_pdf):
+            # the quiescent path needs nothing from the CSR block — skip the
+            # cache fetch entirely
+            return passthrough(sm_pdf)
         blk = load_block(blocks_path, int(key[0]))
         if blk is None:
             # a state/seed/message row for this part implies its block was

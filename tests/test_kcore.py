@@ -103,3 +103,50 @@ def test_block_cache_rejects_multi_file_part(spark, tmp_path):
     clear_cache()
     with pytest.raises(RuntimeError, match="corrupt"):
         load_block(d, part)
+
+def test_quiescent_partition_passthrough_skips_block():
+    """A partition with no incoming kind-1 messages at superstep ≥ 2 must be
+    served by the verbatim passthrough — proven by the cached kernel NOT
+    touching its CSR block (a nonexistent blocks_path would raise)."""
+    import numpy as np
+    import pandas as pd
+
+    from goffish_v3_spark.operators.kcore import _make_kernel
+
+    kernel = _make_kernel(2, blocks_path="/nonexistent/blocks", changed_only=True)
+    sm = pd.DataFrame(
+        {
+            "part": np.array([1, 1, 1, 1], dtype=np.int32),
+            "kind": np.array([0, 0, 3, 3], dtype=np.int32),  # state + shadows
+            "vid": np.array([10, 11, 20, 21], dtype=np.int64),
+            "a": np.array([2, 3, 1, 4], dtype=np.int64),
+        }
+    )
+    out = kernel((1,), sm)
+    state = out[out["kind"] == 0].sort_values("vid")
+    assert list(state["vid"]) == [10, 11] and list(state["a"]) == [2, 3]
+    shadows = out[out["kind"] == 3].sort_values("vid")
+    assert list(shadows["vid"]) == [20, 21] and list(shadows["a"]) == [1, 4]
+    marker = out[out["kind"] == 2]
+    assert len(marker) == 1 and int(marker["a"].iloc[0]) == 0
+    assert not (out["kind"] == 1).any()  # quiescent partitions send nothing
+
+    # a kind-1 message wakes the partition: the kernel now needs its block,
+    # and with a bogus path that must raise (i.e. passthrough NOT taken)
+    import pytest
+
+    awake = pd.concat(
+        [sm, pd.DataFrame({"part": np.array([1], dtype=np.int32),
+                           "kind": np.array([1], dtype=np.int32),
+                           "vid": np.array([20], dtype=np.int64),
+                           "a": np.array([1], dtype=np.int64)})],
+        ignore_index=True,
+    )
+    with pytest.raises(Exception):
+        kernel((1,), awake)
+
+    # superstep 1 must never take the passthrough even without messages
+    # (a no-remote-edge partition still owes its first local pass)
+    kernel1 = _make_kernel(1, blocks_path="/nonexistent/blocks", changed_only=True)
+    with pytest.raises(Exception):
+        kernel1((1,), sm)
