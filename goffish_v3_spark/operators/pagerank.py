@@ -88,7 +88,26 @@ def pagerank_with_info(
     """
     if dense_ids and resume:
         raise ValueError("dense_ids remap is per-run; resume needs stable vids")
-    e = edges.select("src", "dst").distinct().persist()
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # ONE edge-table exchange for the whole setup: hash-partition by src
+    # once, then dedup on (src,dst), the out-degree groupBy("src") and the
+    # adjacency join are all partition-local — HashPartitioning(src)
+    # satisfies every downstream clustering requirement (src is a subset of
+    # each grouping/join key set), so Catalyst inserts no further exchange
+    # and the cached adjacency inherits exactly the (src, n_shuffle)
+    # partitioning the per-superstep state⋈adj join needs. The previous
+    # shape paid four edge-size exchanges here (distinct by (src,dst),
+    # groupBy(src), the join, and an explicit repartition) — measured 14.2 s
+    # of a 37.5 s 10-superstep run at 5.5 M edges / 4 cores. Skew note: a
+    # giant out-degree hub lands in one setup partition, but that is the
+    # same src-partitioned layout the adjacency cache uses by design; the
+    # salted mode spreads it when enabled.
+    e = (
+        edges.select("src", "dst")
+        .repartition(n_shuffle, "src")
+        .dropDuplicates(["src", "dst"])
+        .persist()
+    )
     vertices = (
         e.select(F.col("src").alias("vid"))
         .unionByName(e.select(F.col("dst").alias("vid")))
@@ -121,10 +140,13 @@ def pagerank_with_info(
             .localCheckpoint(eager=True)
         )
         e_wide = e
+        # re-establish the src partitioning after the remap joins so the
+        # downstream dedup/groupBy/join stay exchange-free
         e = (
             e.join(dim.select(F.col("vid").alias("src"), F.col("ivid").alias("isrc")), "src")
             .join(dim.select(F.col("vid").alias("dst"), F.col("ivid").alias("idst")), "dst")
             .select(F.col("isrc").alias("src"), F.col("idst").alias("dst"))
+            .repartition(n_shuffle, "src")
             .persist()
         )
         e.count()
@@ -133,20 +155,17 @@ def pagerank_with_info(
 
     outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
     # adjacency annotated with source out-degree once, reused every superstep.
-    # Persist it pre-shuffled AND pre-sorted on the join key: the cached plan
-    # keeps its outputPartitioning/outputOrdering, so every superstep's
-    # state⋈adj sort-merge join skips both the exchange and the sort on the
-    # (large) adjacency side — only the (small) state side shuffles per
-    # superstep. Measured 4.5× per-superstep at 5.5M edges/32 cores.
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # Persist it pre-partitioned (inherited from e's one setup exchange — the
+    # groupBy and the join add none) AND pre-sorted on the join key: the
+    # cached plan keeps its outputPartitioning/outputOrdering, so every
+    # superstep's state⋈adj sort-merge join skips both the exchange and the
+    # sort on the (large) adjacency side — only the (small) state side
+    # shuffles per superstep. Measured 4.5× per-superstep at 5.5M edges/32
+    # cores.
     adj_plan = e.join(outdeg, "src")
     adj = None
     if salt_threshold is None:
-        adj = (
-            adj_plan.repartition(n_shuffle, "src")
-            .sortWithinPartitions("src")
-            .persist()
-        )
+        adj = adj_plan.sortWithinPartitions("src").persist()
         adj.count()
 
     # static vertex dimension, pre-partitioned + sorted like adj: in fixed-
