@@ -95,11 +95,20 @@ def _build_block(pdf: pd.DataFrame) -> pd.DataFrame:
 
     if len(erows):
         src = erows["src"].to_numpy(dtype=np.int64)
-        order = np.argsort(src, kind="stable")
-        src = src[order]
-        dst = erows["dst"].to_numpy(dtype=np.int64)[order]
-        dst_part = erows["dst_part"].to_numpy(dtype=np.int32)[order]
-        w = erows["w"].to_numpy(dtype=np.float64)[order]
+        dst = erows["dst"].to_numpy(dtype=np.int64)
+        dst_part = erows["dst_part"].to_numpy(dtype=np.int32)
+        w = erows["w"].to_numpy(dtype=np.float64)
+        # multi-edge min-w dedup here in numpy (same trick as the sym
+        # builder): all edges of a src land in its owner partition, so
+        # per-partition dedup is complete — this replaces a full edge-table
+        # groupBy(src,dst) exchange that used to run before the partition
+        # shuffle
+        order = np.lexsort((w, dst, src))
+        src, dst, dst_part, w = src[order], dst[order], dst_part[order], w[order]
+        keep = np.concatenate(
+            ([True], (src[1:] != src[:-1]) | (dst[1:] != dst[:-1]))
+        )
+        src, dst, dst_part, w = src[keep], dst[keep], dst_part[keep], w[keep]
     else:
         src = np.empty(0, dtype=np.int64)
         dst = np.empty(0, dtype=np.int64)
@@ -237,19 +246,20 @@ def build_csr_blocks(
     partition-local computation collapse supersteps on high-diameter graphs.
     """
     part_of = part_expr or (lambda c: vertex_part(c, num_parts))
-    # dedup multi-edges (min weight), matching operators.pagerank's
-    # edges.distinct() so the CSR and DataFrame paths agree on out-degrees
-    e = (
-        edges.groupBy("src", "dst")
-        .agg(F.min(F.col("w").cast("double")).alias("w"))
-        .select(
-            "src",
-            "dst",
-            "w",
-            part_of(F.col("src")).alias("part"),
-            part_of(F.col("dst")).alias("dst_part"),
-            F.lit("e").alias("kind"),
-        )
+    # multi-edge dedup (min weight, matching operators.pagerank's edge dedup
+    # so the CSR and DataFrame paths agree on out-degrees) happens numpy-side
+    # in the builder kernel: every (src,dst) copy lands in src's owner
+    # partition, so per-partition dedup is complete and the edge table rides
+    # a SINGLE exchange (the groupBy(part) below) instead of paying a
+    # groupBy(src,dst) exchange first. Trade-off: duplicate edge rows travel
+    # through the shuffle — on a mostly-duplicate input, dedup first.
+    e = edges.select(
+        "src",
+        "dst",
+        F.col("w").cast("double").alias("w"),
+        part_of(F.col("src")).alias("part"),
+        part_of(F.col("dst")).alias("dst_part"),
+        F.lit("e").alias("kind"),
     )
     # v rows carry NO nulls: a null in an int64 column turns the whole
     # pandas-side column float64 inside applyInPandas, silently corrupting
