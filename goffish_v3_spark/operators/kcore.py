@@ -46,7 +46,7 @@ from pyspark.sql import Observation
 from goffish_v3_spark.plans.csr import CsrBlock, build_csr_blocks_sym
 from goffish_v3_spark.plans.superstep import no_aqe
 
-OUT_SCHEMA = "part int, kind int, vid long, a long"
+OUT_SCHEMA = "part int, kind int, vid long, a long, payload binary"
 
 
 def _local_hindex_fixpoint(
@@ -84,27 +84,53 @@ def _local_hindex_fixpoint(
     return est
 
 
-_EMPTY_OUT = {"part": "int32", "kind": "int32", "vid": "int64", "a": "int64"}
+_EMPTY_OUT = {
+    "part": "int32",
+    "kind": "int32",
+    "vid": "int64",
+    "a": "int64",
+    "payload": "object",
+}
+
+
+def _pack_shadow(vid: np.ndarray, val: np.ndarray) -> bytes:
+    """Shadow channel wire format: int64[vid] ++ int64[val], one binary cell.
+
+    A partition's shadow (last-received remote estimates) covers its whole
+    boundary — on a dense graph that is nearly every vertex, and re-emitting
+    it as one (vid, est) ROW per entry every superstep made the shadow ~97%
+    of the carry (measured 608k of 620k rows/superstep on the 1.2M-edge
+    copart graph — chain walls 4-7 s). Packing it into one binary row per
+    partition keeps the same information at ~30x fewer rows through Arrow,
+    the chain checkpoint and the changed-count scan."""
+    return vid.tobytes() + val.tobytes()
+
+
+def _unpack_shadow(payload: bytes, n: int) -> tuple[np.ndarray, np.ndarray]:
+    return (
+        np.frombuffer(payload, dtype=np.int64, count=n),
+        np.frombuffer(payload, dtype=np.int64, count=n, offset=8 * n),
+    )
 
 
 def _merge_boundary(sm_pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
     """Sorted (vid, estimate) lookup from the boundary channel: kind=3
-    shadows (last-received values) overridden by kind=1 fresh messages.
+    packed shadows (last-received values; vid=-1, a=entry count, payload =
+    int64 vids ++ int64 ests) overridden by kind=1 fresh message rows.
     A vid appears at most once per source (one owner per vid); the stable
     sort keeps the fresh message LAST so it wins the dedup."""
     sh_rows = sm_pdf[sm_pdf["kind"] == 3]
     msg_rows = sm_pdf[sm_pdf["kind"] == 1]
+    sh_vids, sh_vals = [], []
+    for _, r in sh_rows.iterrows():
+        v, e = _unpack_shadow(r["payload"], int(r["a"]))
+        sh_vids.append(v)
+        sh_vals.append(e)
     svid = np.concatenate(
-        [
-            sh_rows["vid"].to_numpy(dtype=np.int64),
-            msg_rows["vid"].to_numpy(dtype=np.int64),
-        ]
+        sh_vids + [msg_rows["vid"].to_numpy(dtype=np.int64)]
     )
     sval = np.concatenate(
-        [
-            sh_rows["a"].to_numpy(dtype=np.int64),
-            msg_rows["a"].to_numpy(dtype=np.int64),
-        ]
+        sh_vals + [msg_rows["a"].to_numpy(dtype=np.int64)]
     )
     order = np.argsort(svid, kind="stable")
     svid, sval = svid[order], sval[order]
@@ -150,9 +176,7 @@ def _make_kernel(
         wavefront cheap."""
         out = sm_pdf[sm_pdf["kind"].isin((0, 3))]
         if len(out) == 0:  # defensive: a group always carries kind-0 state
-            return pd.DataFrame(
-                {"part": [], "kind": [], "vid": [], "a": []}
-            ).astype(_EMPTY_OUT)
+            return pd.DataFrame(columns=list(_EMPTY_OUT)).astype(_EMPTY_OUT)
         part = np.int32(out["part"].iloc[0])
         marker = pd.DataFrame(
             {
@@ -160,10 +184,12 @@ def _make_kernel(
                 "kind": np.array([2], dtype=np.int32),
                 "vid": np.array([-1], dtype=np.int64),
                 "a": np.array([0], dtype=np.int64),
+                "payload": [None],
             }
         )
         return pd.concat(
-            [out[["part", "kind", "vid", "a"]], marker], ignore_index=True
+            [out[["part", "kind", "vid", "a", "payload"]], marker],
+            ignore_index=True,
         )
 
     def quiescent(sm_pdf: pd.DataFrame) -> bool:
@@ -242,8 +268,8 @@ def _make_kernel(
             msg_vidx = np.empty(0, dtype=np.int64)
 
         n_msg = len(msg_part)
-        n_sh = len(shadow_vid)
-        return pd.DataFrame(
+        n_sh = 1 if len(shadow_vid) else 0
+        out = pd.DataFrame(
             {
                 "part": np.concatenate(
                     [
@@ -265,23 +291,33 @@ def _make_kernel(
                     [
                         blk.local_vids,
                         blk.local_vids[msg_vidx],
-                        shadow_vid,
+                        np.full(n_sh, -1, dtype=np.int64),
                         np.array([-1], dtype=np.int64),
                     ]
                 ),
                 "a": np.concatenate(
-                    [est, est[msg_vidx], shadow_val, np.array([changed], dtype=np.int64)]
+                    [
+                        est,
+                        est[msg_vidx],
+                        np.full(n_sh, len(shadow_vid), dtype=np.int64),
+                        np.array([changed], dtype=np.int64),
+                    ]
                 ),
             }
         )
+        out["payload"] = None
+        if n_sh:
+            # ONE packed shadow row per partition (see _pack_shadow)
+            out.iat[n + n_msg, out.columns.get_loc("payload")] = _pack_shadow(
+                shadow_vid, shadow_val
+            )
+        return out
 
     if blocks_path is None:
 
         def kernel(keys, csr_pdf: pd.DataFrame, sm_pdf: pd.DataFrame) -> pd.DataFrame:
             if len(csr_pdf) == 0:
-                return pd.DataFrame(
-                    {"part": [], "kind": [], "vid": [], "a": []}
-                ).astype(_EMPTY_OUT)
+                return pd.DataFrame(columns=list(_EMPTY_OUT)).astype(_EMPTY_OUT)
             if quiescent(sm_pdf):
                 return passthrough(sm_pdf)
             return body(CsrBlock(csr_pdf.iloc[0]), sm_pdf)
@@ -345,7 +381,7 @@ def _hindex_loop(
     carry = spark.createDataFrame([], OUT_SCHEMA)
     if blocks_path is not None:
         seed = spark.createDataFrame(
-            [(int(p), -1, -1, 0) for p in parts], OUT_SCHEMA
+            [(int(p), -1, -1, 0, None) for p in parts], OUT_SCHEMA
         )
     shrink_below = num_parts if num_parts is not None else 32
     cur_chain = chain_every
@@ -495,6 +531,7 @@ def _make_finalize_kernel(cap: int, blocks_path: str | None = None):
                 "kind": np.zeros(int(member.sum()), dtype=np.int32),
                 "vid": blk.local_vids[member],
                 "a": deg_in[member],
+                "payload": None,
             }
         )
 
@@ -502,9 +539,7 @@ def _make_finalize_kernel(cap: int, blocks_path: str | None = None):
 
         def kernel(keys, csr_pdf: pd.DataFrame, sm_pdf: pd.DataFrame) -> pd.DataFrame:
             if len(csr_pdf) == 0:
-                return pd.DataFrame(
-                    {"part": [], "kind": [], "vid": [], "a": []}
-                ).astype(_EMPTY_OUT)
+                return pd.DataFrame(columns=list(_EMPTY_OUT)).astype(_EMPTY_OUT)
             return body(CsrBlock(csr_pdf.iloc[0]), sm_pdf)
 
         return kernel

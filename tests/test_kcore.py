@@ -113,20 +113,30 @@ def test_quiescent_partition_passthrough_skips_block():
 
     from goffish_v3_spark.operators.kcore import _make_kernel
 
+    from goffish_v3_spark.operators.kcore import _pack_shadow, _unpack_shadow
+
     kernel = _make_kernel(2, blocks_path="/nonexistent/blocks", changed_only=True)
+    packed = _pack_shadow(
+        np.array([20, 21], dtype=np.int64), np.array([1, 4], dtype=np.int64)
+    )
     sm = pd.DataFrame(
         {
-            "part": np.array([1, 1, 1, 1], dtype=np.int32),
-            "kind": np.array([0, 0, 3, 3], dtype=np.int32),  # state + shadows
-            "vid": np.array([10, 11, 20, 21], dtype=np.int64),
-            "a": np.array([2, 3, 1, 4], dtype=np.int64),
+            "part": np.array([1, 1, 1], dtype=np.int32),
+            "kind": np.array([0, 0, 3], dtype=np.int32),  # state + packed shadow
+            "vid": np.array([10, 11, -1], dtype=np.int64),
+            "a": np.array([2, 3, 2], dtype=np.int64),
+            "payload": [None, None, packed],
         }
     )
     out = kernel((1,), sm)
     state = out[out["kind"] == 0].sort_values("vid")
     assert list(state["vid"]) == [10, 11] and list(state["a"]) == [2, 3]
-    shadows = out[out["kind"] == 3].sort_values("vid")
-    assert list(shadows["vid"]) == [20, 21] and list(shadows["a"]) == [1, 4]
+    shadows = out[out["kind"] == 3]
+    assert len(shadows) == 1
+    svid, sval = _unpack_shadow(
+        shadows["payload"].iloc[0], int(shadows["a"].iloc[0])
+    )
+    assert list(svid) == [20, 21] and list(sval) == [1, 4]
     marker = out[out["kind"] == 2]
     assert len(marker) == 1 and int(marker["a"].iloc[0]) == 0
     assert not (out["kind"] == 1).any()  # quiescent partitions send nothing
