@@ -301,6 +301,23 @@ def main() -> None:
     with timed("ann_cosine_top5"):
         cosine_topk(emb.filter(F.col("vec_id") < 50), emb, k=5).count()
 
+    # ---- closing canary: a green opening canary only certifies the START
+    # of the run; this box's windows can throttle mid-suite (measured
+    # 2026-08-18: same suite 196 s → 356 s with the opening canary green
+    # both times — lpa_cs 6.7 s vs 63 s). A run is trustworthy only if BOTH
+    # canaries are green.
+    extra["canary_end_sec"] = round(_host_speed_canary(spark), 3)
+    if canary_ref is not None:
+        end_ok = extra["canary_end_sec"] <= HOST_SPEED_FACTOR * canary_ref
+        extra["host_speed_ok"] = bool(extra["host_speed_ok"]) and end_ok
+        if not end_ok:
+            extra["host_speed_note"] = (
+                f"closing canary {extra['canary_end_sec']}s > "
+                f"{HOST_SPEED_FACTOR}x reference {canary_ref}s: the host "
+                "window degraded DURING the run — wall times overstate"
+            )
+            print(f"[bench] WARNING: {extra['host_speed_note']}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
