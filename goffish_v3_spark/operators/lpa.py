@@ -215,6 +215,40 @@ def _make_lpa_kernel(
     fetched locally — the load-once-compute-many shape shared with
     kcore/sssp_csr/csr_pagerank."""
 
+    def quiescent(sm_pdf: pd.DataFrame) -> bool:
+        """Partition-level wake-on-message (the reference's voteToHalt
+        shape, mirroring kcore's passthrough): skip the block fetch and the
+        mode-fixpoint when (a) no fresh boundary labels arrived AND (b) the
+        partition's own previous superstep reported changed == 0 — its
+        kind-2 row rides the carry back to itself. (b) is required here,
+        unlike kcore: the cross-block cycle damper can rewrite labels AFTER
+        the local fixpoint, so a no-message partition with changed > 0 may
+        not be at a re-runnable fixpoint yet. With changed == 0 the damper
+        provably did not fire (it requires label != prev) and the persisted
+        state is a verified mode fixpoint, so a re-run would emit exactly
+        these rows."""
+        if superstep == 0 or (sm_pdf["kind"] == 1).any():
+            return False
+        pc = sm_pdf[sm_pdf["kind"] == 2]
+        return len(pc) > 0 and int(pc["a"].iloc[0]) == 0
+
+    def passthrough(sm_pdf: pd.DataFrame) -> pd.DataFrame:
+        out = sm_pdf[sm_pdf["kind"].isin((0, 3, 4))]
+        if len(out) == 0:  # defensive: a group always carries kind-0 state
+            return pd.DataFrame(columns=list(_LPA_EMPTY)).astype(_LPA_EMPTY)
+        part = np.int32(out["part"].iloc[0])
+        marker = pd.DataFrame(
+            {
+                "part": np.array([part], dtype=np.int32),
+                "kind": np.array([2], dtype=np.int32),
+                "vid": np.array([-1], dtype=np.int64),
+                "a": np.array([0], dtype=np.int64),
+            }
+        )
+        return pd.concat(
+            [out[["part", "kind", "vid", "a"]], marker], ignore_index=True
+        )
+
     def body(blk: CsrBlock, sm_pdf: pd.DataFrame) -> pd.DataFrame:
         n = blk.n_local
         seg = np.repeat(np.arange(n, dtype=np.int64), blk.out_degrees)
@@ -340,6 +374,8 @@ def _make_lpa_kernel(
                 return pd.DataFrame(
                     {"part": [], "kind": [], "vid": [], "a": []}
                 ).astype(_LPA_EMPTY)
+            if quiescent(sm_pdf):
+                return passthrough(sm_pdf)
             return body(CsrBlock(csr_pdf.iloc[0]), sm_pdf)
 
         return kernel
@@ -347,6 +383,9 @@ def _make_lpa_kernel(
     def cached_kernel(key, sm_pdf: pd.DataFrame) -> pd.DataFrame:
         from goffish_v3_spark.plans.block_cache import load_block
 
+        if quiescent(sm_pdf):
+            # nothing needed from the CSR block — skip the cache fetch
+            return passthrough(sm_pdf)
         blk = load_block(blocks_path, int(key[0]))
         if blk is None:
             raise RuntimeError(
@@ -427,7 +466,10 @@ def lpa_csr(
                 out = out.observe(
                     obs, F.sum(F.when(F.col("kind") == 2, F.col("a"))).alias("changed")
                 ).localCheckpoint(eager=True)
-                carry = out.filter(F.col("kind") != 2)
+                # kind-2 rows stay in the carry: each partition's changed
+                # count rides back to itself so the kernel's quiescent check
+                # can prove its state is a re-runnable fixpoint (1 row/part)
+                carry = out
                 supersteps = i + 1
                 if int(obs.get["changed"] or 0) == 0:
                     break

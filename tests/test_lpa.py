@@ -132,3 +132,51 @@ def test_csr_block_cache_mode_matches(spark, tmp_path):
         ).collect()
     )
     assert base == cached
+
+
+def test_lpa_quiescent_passthrough_requires_proof_of_fixpoint():
+    """LPA's partition passthrough needs BOTH no fresh messages AND the
+    partition's own prior changed==0 (kind-2 row riding the carry) — the
+    cycle damper can leave a non-fixpoint state when changed>0. Proven by
+    the cached kernel not touching its CSR block (bogus path would raise)."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from goffish_v3_spark.operators.lpa import _make_lpa_kernel
+
+    kernel = _make_lpa_kernel(2, 10_000, blocks_path="/nonexistent/blocks")
+    base = pd.DataFrame(
+        {
+            "part": np.array([1, 1, 1, 1, 1], dtype=np.int32),
+            "kind": np.array([0, 0, 4, 4, 3], dtype=np.int32),
+            "vid": np.array([10, 11, 10, 11, 20], dtype=np.int64),
+            "a": np.array([7, 7, 7, 7, 7], dtype=np.int64),
+        }
+    )
+    changed0 = pd.DataFrame(
+        {"part": np.array([1], dtype=np.int32), "kind": np.array([2], dtype=np.int32),
+         "vid": np.array([-1], dtype=np.int64), "a": np.array([0], dtype=np.int64)}
+    )
+    quiet = pd.concat([base, changed0], ignore_index=True)
+    out = kernel((1,), quiet)
+    state = out[out["kind"] == 0].sort_values("vid")
+    assert list(state["vid"]) == [10, 11] and list(state["a"]) == [7, 7]
+    assert (out[out["kind"] == 4]["a"] == 7).all()          # prevprev preserved
+    assert list(out[out["kind"] == 3]["vid"]) == [20]        # shadow preserved
+    marker = out[out["kind"] == 2]
+    assert len(marker) == 1 and int(marker["a"].iloc[0]) == 0
+    assert not (out["kind"] == 1).any()
+
+    # prior changed > 0 → must NOT passthrough even without messages
+    changed2 = changed0.assign(a=np.array([2], dtype=np.int64))
+    with pytest.raises(Exception):
+        kernel((1,), pd.concat([base, changed2], ignore_index=True))
+
+    # a fresh message → must wake regardless of prior changed == 0
+    msg = pd.DataFrame(
+        {"part": np.array([1], dtype=np.int32), "kind": np.array([1], dtype=np.int32),
+         "vid": np.array([20], dtype=np.int64), "a": np.array([9], dtype=np.int64)}
+    )
+    with pytest.raises(Exception):
+        kernel((1,), pd.concat([quiet, msg], ignore_index=True))
