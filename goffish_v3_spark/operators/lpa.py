@@ -30,13 +30,20 @@ from goffish_v3_spark.plans.csr import CsrBlock, build_csr_blocks_sym
 from goffish_v3_spark.plans.superstep import StepResult, SuperstepLoop, no_aqe
 
 
-def _symmetrize(edges: DataFrame) -> DataFrame:
+def _symmetrize(edges: DataFrame, partition_into: int | None = None) -> DataFrame:
+    """Both edge directions, self-loops dropped, (src,dst)-deduped.
+
+    With ``partition_into`` the dedup rides a single repartition-by-src
+    exchange (HashPartitioning(src) satisfies the dedup's clustering — the
+    same one-exchange layout as operators.pagerank's setup) and the output
+    is left hash-partitioned on src for the caller to cache."""
     e = edges.select("src", "dst")
-    return (
-        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).filter(F.col("src") != F.col("dst"))
+    if partition_into is None:
+        return sym.distinct()
+    return sym.repartition(partition_into, "src").dropDuplicates(["src", "dst"])
 
 
 def lpa(
@@ -54,8 +61,7 @@ def lpa(
     # on the (large) edge side (same pattern as operators.pagerank)
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     und = (
-        _symmetrize(edges)
-        .repartition(n_shuffle, "src")
+        _symmetrize(edges, partition_into=n_shuffle)
         .sortWithinPartitions("src")
         .persist()
     )

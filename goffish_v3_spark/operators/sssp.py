@@ -57,13 +57,15 @@ def sssp(
     # persist pre-shuffled AND pre-sorted on the per-superstep join key, so
     # frontier ⋈ e reuses the cached outputPartitioning/outputOrdering and
     # only the (small) frontier side exchanges each superstep — same layout
-    # trick as pagerank.py:74-81 (the groupBy's (src,dst) partitioning alone
-    # would re-shuffle the full edge side every round)
+    # trick as operators.pagerank. ONE edge exchange: partition by src
+    # first, then the (src,dst) min-w dedup is partition-local
+    # (HashPartitioning(src) satisfies the grouping's clustering) and the
+    # local sort rides the same layout.
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     e = (
-        e.groupBy("src", "dst")
+        e.repartition(n_shuffle, "src")
+        .groupBy("src", "dst")
         .agg(F.min("w").alias("w"))
-        .repartition(n_shuffle, "src")
         .sortWithinPartitions("src")
         .persist()
     )
