@@ -91,3 +91,38 @@ def test_pagerank_partition_metrics_persisted(spark, tmp_path):
     )
     assert len(per_part) == 3
     assert all(r.total == n_vertices for r in per_part)
+
+
+def test_partition_first_dedup_is_single_exchange(spark):
+    """The one-exchange setup layout (pagerank/sssp/lpa/csr builders) rests
+    on Spark's subset-clustering rule: HashPartitioning(src) must satisfy
+    the ClusteredDistribution of a (src,dst) dedup, a groupBy(src) and a
+    src-join without further exchanges. Guard it against Spark upgrades by
+    counting Exchange nodes in the optimized plan."""
+    from pyspark.sql import functions as F
+
+    e = spark.range(1000).select(
+        (F.col("id") % 50).alias("src"), ((F.col("id") * 13 + 7) % 50).alias("dst")
+    )
+    # planner-inserted shuffles print ENSURE_REQUIREMENTS; the one
+    # deliberate user repartition prints REPARTITION_BY_NUM — the dedup,
+    # groupBy and join must add ZERO of the former
+    deduped = e.repartition(8, "src").dropDuplicates(["src", "dst"])
+    dplan = deduped._jdf.queryExecution().executedPlan().toString()
+    assert "ENSURE_REQUIREMENTS" not in dplan, dplan
+    assert dplan.count("REPARTITION_BY_NUM") == 1, dplan
+    # cached (as the operators do), the out-degree groupBy and the src-join
+    # add NO shuffle exchange on top of the cached partitioning
+    deduped = deduped.persist()
+    try:
+        deduped.count()
+        outdeg = deduped.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        adj = deduped.join(outdeg.hint("merge"), "src")
+        plan = adj._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "ENSURE_REQUIREMENTS" not in plan, (
+            "planner inserted a shuffle over the cached src-partitioned "
+            f"table:\n{plan}"
+        )
+    finally:
+        deduped.unpersist()
