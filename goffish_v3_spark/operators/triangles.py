@@ -25,17 +25,35 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def oriented_edges(edges: DataFrame) -> DataFrame:
-    """Undirected edge set, canonical orientation u<v, deduped."""
+def oriented_edges(edges: DataFrame, partition_into: int | None = None) -> DataFrame:
+    """Undirected edge set, canonical orientation u<v, deduped.
+
+    With ``partition_into`` the dedup rides a single repartition-by-u
+    exchange (HashPartitioning(u) satisfies the (u,v) dedup's clustering —
+    the one-exchange layout shared with the pagerank/sssp/lpa setups) and
+    the output stays hash-partitioned on u for the caller to cache."""
     e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
-    return e.select(
+    o = e.select(
         F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
-    ).distinct()
+    )
+    if partition_into is None:
+        return o.distinct()
+    return o.repartition(partition_into, "u").dropDuplicates(["u", "v"])
 
 
 def triangles(edges: DataFrame) -> DataFrame:
-    """All triangles as ``(u, v, w)`` with u<v<w, each exactly once."""
-    e = oriented_edges(edges).persist()
+    """All triangles as ``(u, v, w)`` with u<v<w, each exactly once.
+
+    The oriented edge table is cached hash-partitioned on ``u``: the wedge
+    join's e2 side (joined on its u, renamed v) and the closure join's
+    edge side (keys (cu, cw) ⊇ {cu}) both reuse that partitioning, so of
+    the five edge/wedge-table exchanges the naive plan pays (dedup, both
+    wedge-join sides, both closure sides) only two remain — e1 into the
+    wedge join and the wedges into the closure."""
+    n_shuffle = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    e = oriented_edges(edges, partition_into=n_shuffle).persist()
     e1 = e.alias("e1")
     e2 = e.select(F.col("u").alias("v"), F.col("v").alias("w")).alias("e2")
     wedges = e1.join(e2, "v").select("u", "v", "w")
