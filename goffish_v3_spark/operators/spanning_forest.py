@@ -117,6 +117,16 @@ def _local_forest(pdf: pd.DataFrame) -> pd.DataFrame:
         )
     src = pdf["src"].to_numpy(dtype=np.int64)
     dst = pdf["dst"].to_numpy(dtype=np.int64)
+    # dedup here in numpy (sorted — also makes the forest independent of
+    # shuffle arrival order): every copy of an intra edge lands in this
+    # partition, so the global pre-shuffle distinct() is unnecessary and
+    # its full-edge-table exchange is saved. Duplicates MUST not reach
+    # _boruvka_numpy: tree flags are matched per edge value, so both copies
+    # of a picked edge would be flagged is_tree.
+    order = np.lexsort((dst, src))
+    src, dst = src[order], dst[order]
+    keep = np.concatenate(([True], (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])))
+    src, dst = src[keep], dst[keep]
     tree, vids, labels = _boruvka_numpy(src, dst)
     pos = np.searchsorted(vids, src)
     return pd.DataFrame(
@@ -233,11 +243,15 @@ def spanning_forest(
         .unionByName(edges.select(F.col("dst").alias("vid")))
         .distinct()
     )
+    # no global distinct: intra-edge dedup happens numpy-side in
+    # _local_forest (all copies co-land in their partition), cross-edge
+    # duplicates collapse in the meta contraction's per-pair representative
+    # pick — the oriented edge table reaches the part shuffle with ZERO
+    # prior exchanges
     e = (
         edges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
         .select(F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst"))
-        .distinct()
         .withColumn("sp", vertex_part(F.col("src"), num_parts))
         .withColumn("dp", vertex_part(F.col("dst"), num_parts))
         .persist()

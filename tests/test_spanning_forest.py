@@ -75,3 +75,27 @@ def test_self_loop_singleton_covered(spark):
     lab = {r.vid: r.label for r in labels.collect()}
     assert lab == {1: 1, 2: 1, 5: 5}
     assert tree.count() == 1
+
+
+def test_duplicate_and_reversed_edges_same_forest(spark):
+    """The global pre-shuffle distinct() is gone: duplicates and reversed
+    copies must still yield a valid forest with identical stats (intra
+    dedup is numpy-side in _local_forest; cross duplicates collapse in the
+    meta contraction)."""
+    from pyspark.sql import functions as F
+
+    from goffish_v3_spark.operators.spanning_forest import spanning_forest
+    from tests import graphs
+
+    base = graphs.barabasi_albert(120, m=2, seed=9)
+    noisy = base + [(b, a) for a, b in base] + base[::3]  # reversed + dups
+    t1, l1 = spanning_forest(spark, graphs.to_df(spark, base), num_parts=4)
+    t2, l2 = spanning_forest(spark, graphs.to_df(spark, noisy), num_parts=4)
+    # same component labelling
+    assert {(r.vid, r.label) for r in l1.collect()} == {
+        (r.vid, r.label) for r in l2.collect()
+    }
+    # same forest size (|V| - #components) and no duplicate tree edges
+    te2 = [(r.src, r.dst) for r in t2.collect()]
+    assert len(te2) == len(set(te2))
+    assert t1.count() == len(te2)
