@@ -16,8 +16,9 @@ differing only in local scheduling; we ship one distributed implementation
   (neighbour partition, vertex) before the shuffle, and — like the
   reference, which sends only *changed* cores (KCore.java:101-109) — the
   full decomposition sends O(changed) messages per superstep: each partition
-  keeps a shadow of the last-received remote estimates (kind=3 rows riding
-  its own state channel, never crossing partitions) and senders emit a
+  keeps a shadow of the last-received remote estimates (ONE packed binary
+  kind=3 row riding its own state channel, never crossing partitions —
+  see _pack_shadow) and senders emit a
   boundary vertex only when its estimate moved this superstep;
 - global halt when no estimate changed anywhere (driver-side gate).
 
@@ -159,7 +160,8 @@ def _make_kernel(
     ``changed_only`` sends O(changed) boundary estimates per superstep
     instead of re-broadcasting the full boundary (the reference sends only
     changed cores, KCore.java:101-109): each partition keeps a shadow of the
-    last-received remote estimates as kind=3 rows routed to itself. Exact —
+    last-received remote estimates as a packed kind=3 row routed to itself.
+    Exact —
     estimates are monotone non-increasing, so an unsent value is still the
     sender's current value."""
 
