@@ -487,15 +487,28 @@ def _banded_pairs(s: DataFrame, width: int, max_hamming: int) -> DataFrame:
     self-equi-join on (band, key), never a cross product; candidate volume
     is (max_hamming+1)× the single-bucket variant's, all bucketed."""
     n_bands = max_hamming + 1
+    if not 1 <= n_bands <= width:
+        # n_bands > width would yield zero-width blocks whose key is
+        # constantly 0 (that band's self-join degenerates toward a cross
+        # product); n_bands < 1 is nonsense input
+        raise ValueError(
+            f"max_hamming+1 must be in [1, width={width}], got {n_bands}"
+        )
     bounds = [width * j // n_bands for j in range(n_bands + 1)]
+
+    def _block_key(j: int):
+        key = F.shiftrightunsigned("simhash", bounds[j])
+        blk_w = bounds[j + 1] - bounds[j]
+        if blk_w < 64:
+            # blk_w == 64 (max_hamming=0, width=64): the mask (1<<64)-1
+            # exceeds LongType and fails at plan build — the full-width
+            # shifted value IS the key, no mask needed
+            key = key.bitwiseAND(F.lit((1 << blk_w) - 1))
+        return key
+
     bands = F.array(
         *[
-            F.struct(
-                F.lit(j).alias("band"),
-                F.shiftrightunsigned("simhash", bounds[j])
-                .bitwiseAND(F.lit((1 << (bounds[j + 1] - bounds[j])) - 1))
-                .alias("key"),
-            )
+            F.struct(F.lit(j).alias("band"), _block_key(j).alias("key"))
             for j in range(n_bands)
         ]
     )

@@ -77,7 +77,8 @@ def _ffmpeg_frame(payload: bytes, ts_ms: int) -> bytes:
     proc = subprocess.run(
         [
             _ffmpeg(), "-v", "error", "-ss", f"{ts_ms / 1000:.3f}", "-i", "pipe:0",
-            "-frames:v", "1", "-f", "image2", "-vcodec", "ppm", "pipe:1",
+            "-frames:v", "1", "-pix_fmt", "rgb24",
+            "-f", "image2", "-vcodec", "ppm", "pipe:1",
         ],
         input=payload,
         capture_output=True,
@@ -102,6 +103,14 @@ def _split_ppm_stream(buf: bytes) -> list[bytes]:
         if len(parts) < 4:
             raise ValueError("truncated PPM stream header")
         w, h = (int(x) for x in parts[1].split())
+        maxval = int(parts[2])
+        if maxval > 255:
+            # 2-byte-per-sample PPM (e.g. >8-bit source without -pix_fmt
+            # rgb24 pinned) — walking it at 3 bytes/pixel would desync
+            raise ValueError(
+                f"PPM maxval {maxval} > 255 (16-bit samples) unsupported; "
+                "pin -pix_fmt rgb24 on the producing ffmpeg command"
+            )
         hdr_len = len(parts[0]) + len(parts[1]) + len(parts[2]) + 3
         total = hdr_len + w * h * 3
         if pos + total > len(buf):
@@ -122,7 +131,7 @@ def _ffmpeg_frames(payload: bytes, every_ms: int, max_frames: int) -> list[bytes
         [
             _ffmpeg(), "-v", "error", "-i", "pipe:0",
             "-vf", f"fps=1000/{int(every_ms)}",
-            "-frames:v", str(int(max_frames)),
+            "-frames:v", str(int(max_frames)), "-pix_fmt", "rgb24",
             "-f", "image2pipe", "-vcodec", "ppm", "pipe:1",
         ],
         input=payload,

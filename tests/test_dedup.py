@@ -280,3 +280,22 @@ def test_jaccard_max_df_sizes_use_filtered_universe(spark):
     # surviving sets: 4 shingles each, 3 shared -> 3/5; the old full-set
     # denominator gave 3/7 ≈ 0.43 and silently dropped the pair at 0.5
     assert got == {(100, 101): 0.6}
+
+
+def test_banded_pairs_degenerate_params(spark):
+    """max_hamming=0 at width=64 must plan (single full-width block — the
+    (1<<64)-1 mask would overflow LongType), and max_hamming+1 > width must
+    raise instead of degenerating zero-width bands toward a cross product
+    (ADVICE r4)."""
+    import pytest
+
+    from goffish_v3_spark.operators.dedup import _banded_pairs
+
+    rows = [(1, -1), (2, -1), (3, 0)]
+    s = spark.createDataFrame(rows, "_id long, simhash long")
+    got = sorted((r.id_a, r.id_b, r.hamming) for r in _banded_pairs(s, 64, 0).collect())
+    assert got == [(1, 2, 0)]
+    with pytest.raises(ValueError, match="max_hamming"):
+        _banded_pairs(s, 4, 4)
+    with pytest.raises(ValueError, match="max_hamming"):
+        _banded_pairs(s, 64, -1)

@@ -216,3 +216,15 @@ def test_decode_features_error_distinguishes_missing_path():
 
     with pytest.raises(NotImplementedError, match="no decode path"):
         _decode_features(b"xx", "mp3", "audio", 4, "real")
+
+
+def test_split_ppm_stream_rejects_16bit_samples():
+    """maxval-65535 PPM (>8-bit source without -pix_fmt rgb24) must raise a
+    clear error, not desync at 3 bytes/pixel (ADVICE r4)."""
+    import pytest
+
+    from goffish_v3_spark.operators.multimodal import _split_ppm_stream
+
+    buf = b"P6\n2 2\n65535\n" + b"\x00" * (2 * 2 * 6)
+    with pytest.raises(ValueError, match="maxval"):
+        _split_ppm_stream(buf)

@@ -39,3 +39,13 @@ def test_direction_insensitive(spark):
     edges = graphs.clique(6)
     flipped = [(v, u) for u, v in edges]
     assert triangle_count(graphs.to_df(spark, flipped)) == comb(6, 3)
+
+
+def test_triangle_count_leaves_no_persisted_tables(spark):
+    """triangles() must not leak a cached table per call (VERDICT r4 #2):
+    net persistent-RDD count is unchanged after triangle_count returns."""
+    df = graphs.to_df(spark, graphs.clique(8))
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert triangle_count(df) == comb(8, 3)
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after == before
