@@ -10,12 +10,24 @@ The authoritative north metric (BASELINE.json) — edges-traversed/sec for
 PageRank supersteps — is reported in ``extra`` alongside iteration counts.
 Scaling-efficiency runs (N vs 4N cores) live in BENCH/run_scaling.py which
 writes BENCH/BASELINE.md.
+
+Host-integrity design (VERDICT r4 #1): the round-3/4 dual START/END canary
+certified the run's envelope but not its middle — BENCH_r04 shipped per-query
+walls 2-3x inflated by a mid-run throttle window with both envelope canaries
+green. This harness therefore brackets EVERY timed query with a warm canary
+(~0.5 s untimed overhead each): a query's ``host_ok`` is true only when both
+its bracketing canaries are within threshold. A flagged query is re-run once
+(the re-run gets its own bracket); derived ratios (``hub_salting_speedup``)
+are computed from clean runs only and are null when no clean run exists, so a
+burst window can never again silently flip a conclusion like r4's 1.36x
+"salting wins" artifact on a demoted feature.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import platform
 import sys
 import time
 
@@ -26,23 +38,32 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 PR_BENCH_ITERS = 10
 
 # Host-speed canary: a FIXED pure-Spark workload (range → hash mod keys →
-# groupBy sum/count → orderBy limit collect) run cold, first thing after
-# session creation. It is deliberately independent of this repo's operators —
-# the round-3/4 canary reused the engine warmup (PageRank + k-core), so every
-# operator change silently re-baselined it and it fired a false positive on a
-# verified-idle window after the round-4 k_core rewrite. References below were
-# calibrated min-of-3 fresh-JVM runs on an idle box (2026-08-17, 32-proc CPU
-# scaling test perfect, query walls beating the judge's idle-box truth).
-# A canary beyond 1.5x reference means the host window is
-# throttled/contaminated and every wall time in the run overstates —
-# BENCH_r03 shipped 2.4-3.8x-inflated numbers from exactly such a window
-# (VERDICT r3 #1/#3). The flag makes that state machine-visible.
+# groupBy sum/count → orderBy limit collect), deliberately independent of this
+# repo's operators so no operator change can re-baseline it. Two references:
+# COLD (first job after session creation, pays JIT/codegen) gates the run's
+# opening; WARM (steady-state) gates the per-query brackets. Calibrated
+# min-of-3 fresh-JVM runs on the round box, 2026-08-18, idle window (cold
+# 4.6/0.5 s, warm 0.49-0.64/0.22-0.27 s at 32/8 cores). On any other host or
+# Spark build, override via SPARK_GRAFT_CANARY_REF / SPARK_GRAFT_CANARY_REF_WARM
+# (float seconds for the current core count, ADVICE r4) — the calibration
+# source and host land in extra["canary_calibration"] so cross-host
+# comparisons are explicit rather than silently wrong.
 CANARY_REF_SEC = {32: 5.7, 8: 5.2}
-HOST_SPEED_FACTOR = 1.5
+WARM_CANARY_REF_SEC = {32: 0.65, 8: 0.35}
+HOST_SPEED_FACTOR = 1.5  # cold threshold
+WARM_SPEED_FACTOR = 2.0  # warm walls are sub-second → noisier, wider gate
+CANARY_CALIBRATION = {"host": "round-box local[32/8]", "date": "2026-08-18"}
 
 
-def _host_speed_canary(spark) -> float:
-    """Fixed code-independent canary job; returns wall seconds (cold)."""
+def _env_ref(name: str, default: float | None) -> tuple[float | None, str]:
+    raw = os.environ.get(name)
+    if raw is None:
+        return default, "builtin"
+    return float(raw), f"env:{name}"
+
+
+def _canary_job(spark) -> float:
+    """Fixed code-independent canary job; returns wall seconds."""
     from pyspark.sql import functions as F
 
     t0 = time.monotonic()
@@ -54,6 +75,90 @@ def _host_speed_canary(spark) -> float:
         F.sum("v").alias("s"), F.count(F.lit(1)).alias("c")
     ).orderBy("k").limit(3).collect()
     return time.monotonic() - t0
+
+
+class HostGuard:
+    """Per-query host-integrity: warm canaries bracket every timed query."""
+
+    def __init__(self, spark, warm_ref: float | None):
+        self.spark = spark
+        self.warm_ref = warm_ref
+        self.last_wall: float | None = None  # most recent warm canary wall
+        self.last_ok: bool = True
+        self.n_canaries = 0
+        self.canary_overhead = 0.0
+
+    def checkpoint(self) -> tuple[float, bool]:
+        wall = _canary_job(self.spark)
+        self.n_canaries += 1
+        self.canary_overhead += wall
+        threshold = None if self.warm_ref is None else (
+            WARM_SPEED_FACTOR * self.warm_ref
+        )
+        if threshold is not None and wall > threshold:
+            # one immediate retry: a GC/cleanup blip right after a heavy
+            # query passes the second probe; a genuine throttle window
+            # keeps both slow (measured smoke: 0.633 s blip at a 0.6 s
+            # threshold right after the triangle join, idle truth 0.38 s)
+            wall2 = _canary_job(self.spark)
+            self.n_canaries += 1
+            self.canary_overhead += wall2
+            wall = min(wall, wall2)
+        ok = threshold is None or wall <= threshold
+        self.last_wall, self.last_ok = round(wall, 3), ok
+        return self.last_wall, ok
+
+
+class Bench:
+    def __init__(self, spark, guard: HostGuard):
+        self.guard = guard
+        self.timings: dict[str, float] = {}
+        self.extra: dict[str, object] = {}
+        self.meta: dict[str, dict] = {}
+
+    def run(self, name: str, fn, reruns: int = 1):
+        """Time ``fn`` bracketed by warm canaries; re-run once if either
+        bracket is red. timings[name] = wall of the first clean run, else
+        min wall across attempts (with host_ok false)."""
+        runs = []
+        result = None
+        for attempt in range(reruns + 1):
+            before_wall, before_ok = self.guard.last_wall, self.guard.last_ok
+            if before_wall is None:  # first query: seed the bracket
+                before_wall, before_ok = self.guard.checkpoint()
+            t0 = time.monotonic()
+            result = fn()
+            wall = round(time.monotonic() - t0, 3)
+            after_wall, after_ok = self.guard.checkpoint()
+            runs.append(
+                {
+                    "wall": wall,
+                    "canary_before": before_wall,
+                    "canary_after": after_wall,
+                    "host_ok": bool(before_ok and after_ok),
+                }
+            )
+            if runs[-1]["host_ok"]:
+                break
+            print(
+                f"[bench] host window flagged around {name!r} "
+                f"(canaries {before_wall}/{after_wall}s); "
+                + ("re-running once" if attempt < reruns else "keeping min wall"),
+                file=sys.stderr,
+            )
+        clean = [r for r in runs if r["host_ok"]]
+        chosen = clean[0] if clean else min(runs, key=lambda r: r["wall"])
+        self.timings[name] = chosen["wall"]
+        self.meta[name] = {
+            "host_ok": bool(clean),
+            "runs": runs if (len(runs) > 1 or not clean) else None,
+            "canary": [chosen["canary_before"], chosen["canary_after"]],
+        }
+        return result
+
+    def clean_wall(self, name: str) -> float | None:
+        """Wall only if the query has a host-clean run, else None."""
+        return self.timings[name] if self.meta[name]["host_ok"] else None
 
 
 def main() -> None:
@@ -77,39 +182,39 @@ def main() -> None:
         shuffle_partitions=CPUS,
     )
 
-    timings: dict[str, float] = {}
-    extra: dict[str, object] = {}
+    cold_ref, cold_src = _env_ref("SPARK_GRAFT_CANARY_REF", CANARY_REF_SEC.get(CPUS))
+    warm_ref, warm_src = _env_ref(
+        "SPARK_GRAFT_CANARY_REF_WARM", WARM_CANARY_REF_SEC.get(CPUS)
+    )
+    guard = HostGuard(spark, warm_ref)
+    b = Bench(spark, guard)
+    extra = b.extra
+    extra["canary_calibration"] = {
+        **CANARY_CALIBRATION,
+        "cold_ref_sec": cold_ref,
+        "cold_ref_source": cold_src,
+        "warm_ref_sec": warm_ref,
+        "warm_ref_source": warm_src,
+        "bench_host": platform.node(),
+    }
 
-    # ---- host-speed canary (cold, before anything else JITs the JVM) ----
-    extra["canary_sec"] = round(_host_speed_canary(spark), 3)
-    canary_ref = CANARY_REF_SEC.get(CPUS)
-    extra["canary_ref_sec"] = canary_ref
-    if canary_ref is None:
+    # ---- opening canary (cold, before anything else JITs the JVM) ----
+    extra["canary_sec"] = round(_canary_job(spark), 3)
+    if cold_ref is None:
         extra["host_speed_ok"] = None
         extra["host_speed_note"] = (
             f"no canary reference calibrated for {CPUS} cores; canary skipped"
         )
     else:
-        extra["host_speed_ok"] = extra["canary_sec"] <= HOST_SPEED_FACTOR * canary_ref
+        extra["host_speed_ok"] = extra["canary_sec"] <= HOST_SPEED_FACTOR * cold_ref
         if not extra["host_speed_ok"]:
             extra["host_speed_note"] = (
                 f"canary {extra['canary_sec']}s > {HOST_SPEED_FACTOR}x reference "
-                f"{canary_ref}s: throttled/contaminated host window — wall "
+                f"{cold_ref}s: throttled/contaminated host window — wall "
                 "times in this run overstate; re-run on an idle box before "
                 "comparing across rounds"
             )
             print(f"[bench] WARNING: {extra['host_speed_note']}", file=sys.stderr)
-
-    def timed(name: str):
-        class _T:
-            def __enter__(self):
-                self.t0 = time.monotonic()
-                return self
-
-            def __exit__(self, *a):
-                timings[name] = round(time.monotonic() - self.t0, 3)
-
-        return _T()
 
     # ---- warmup (untimed): compile the hot codegen paths + spin up the
     # Arrow Python workers before any timed section. Cold-JVM JIT/codegen
@@ -139,35 +244,39 @@ def main() -> None:
         .count()
     )
 
-    with timed("pagerank_cs_10it"):
+    def _pr_fixed():
         scores, info = pagerank_with_info(spark, cs, fixed_iterations=PR_BENCH_ITERS)
         scores.count()
+
+    b.run("pagerank_cs_10it", _pr_fixed)
     extra["pagerank_cs_edges"] = n_cs_edges
     extra["pagerank_cs_edges_traversed_per_sec"] = round(
-        PR_BENCH_ITERS * n_cs_edges / timings["pagerank_cs_10it"], 1
+        PR_BENCH_ITERS * n_cs_edges / b.timings["pagerank_cs_10it"], 1
     )
 
-    with timed("pagerank_cs_converge"):
-        _, info = pagerank_with_info(spark, cs)
+    info = b.run(
+        "pagerank_cs_converge", lambda: pagerank_with_info(spark, cs)[1]
+    )
     extra["pagerank_cs_supersteps_to_eps"] = info.supersteps
     # the reference's absolute ε=1e-3 is trivially met once N is large
     # (1/N ≪ ε); report a relative gate alongside so the convergence bench
     # measures propagation, not setup (VERDICT round-1 note)
-    with timed("pagerank_cs_converge_rel"):
-        _, info_rel = pagerank_with_info(spark, cs, eps=1e-3 / n_cs_vertices)
+    info_rel = b.run(
+        "pagerank_cs_converge_rel",
+        lambda: pagerank_with_info(spark, cs, eps=1e-3 / n_cs_vertices)[1],
+    )
     extra["pagerank_cs_supersteps_to_rel_eps"] = info_rel.supersteps
 
-    with timed("wcc_cs"):
-        wcc(spark, cs, num_parts=CPUS).count()
+    b.run("wcc_cs", lambda: wcc(spark, cs, num_parts=CPUS).count())
+    b.run("lpa_cs_4it", lambda: lpa(spark, cs, fixed_iterations=4).count())
 
-    with timed("lpa_cs_4it"):
-        lpa(spark, cs, fixed_iterations=4).count()
+    from goffish_v3_spark.operators.sssp import sssp
 
-    with timed("sssp_cs"):
-        from goffish_v3_spark.operators.sssp import sssp
-
-        src0 = cs.agg(F.min("src")).collect()[0][0]
-        sssp(spark, cs, source=src0, weighted=False, directed=False).count()
+    src0 = cs.agg(F.min("src")).collect()[0][0]
+    b.run(
+        "sssp_cs",
+        lambda: sssp(spark, cs, source=src0, weighted=False, directed=False).count(),
+    )
 
     # ---- CSR-kernel operators, cogroup vs worker-local block cache --------
     # the load-once-compute-many claim gets a tracked number per operator
@@ -176,71 +285,125 @@ def main() -> None:
     from goffish_v3_spark.operators.sssp import sssp_csr
     from goffish_v3_spark.operators.subgraph_pagerank import csr_pagerank
 
-    with timed("csr_pagerank_10it_cogroup"):
-        csr_pagerank(spark, cs, num_parts=CPUS, fixed_iterations=PR_BENCH_ITERS).count()
-    with timed("csr_pagerank_10it_cached"):
-        csr_pagerank(
+    b.run(
+        "csr_pagerank_10it_cogroup",
+        lambda: csr_pagerank(
+            spark, cs, num_parts=CPUS, fixed_iterations=PR_BENCH_ITERS
+        ).count(),
+    )
+    b.run(
+        "csr_pagerank_10it_cached",
+        lambda: csr_pagerank(
             spark, cs, num_parts=CPUS, fixed_iterations=PR_BENCH_ITERS,
             cache_blocks=True,
-        ).count()
-    with timed("lpa_csr_cogroup"):
-        lpa_csr(spark, cs, num_parts=CPUS).count()
-    with timed("lpa_csr_cached"):
-        lpa_csr(spark, cs, num_parts=CPUS, cache_blocks=True).count()
-    with timed("sssp_csr_cogroup"):
-        sssp_csr(spark, cs, source=src0, weighted=False, directed=False,
-                 num_parts=CPUS).count()
-    with timed("sssp_csr_cached"):
-        sssp_csr(spark, cs, source=src0, weighted=False, directed=False,
-                 num_parts=CPUS, cache_blocks=True).count()
+        ).count(),
+    )
+    b.run("lpa_csr_cogroup", lambda: lpa_csr(spark, cs, num_parts=CPUS).count())
+    b.run(
+        "lpa_csr_cached",
+        lambda: lpa_csr(spark, cs, num_parts=CPUS, cache_blocks=True).count(),
+    )
+    b.run(
+        "sssp_csr_cogroup",
+        lambda: sssp_csr(
+            spark, cs, source=src0, weighted=False, directed=False, num_parts=CPUS
+        ).count(),
+    )
+    b.run(
+        "sssp_csr_cached",
+        lambda: sssp_csr(
+            spark, cs, source=src0, weighted=False, directed=False,
+            num_parts=CPUS, cache_blocks=True,
+        ).count(),
+    )
     for op in ("csr_pagerank_10it", "lpa_csr", "sssp_csr"):
-        extra[f"{op}_cache_speedup"] = round(
-            timings[f"{op}_cogroup"] / timings[f"{op}_cached"], 3
+        cg, ca = b.clean_wall(f"{op}_cogroup"), b.clean_wall(f"{op}_cached")
+        extra[f"{op}_cache_speedup"] = (
+            round(cg / ca, 3) if (cg is not None and ca is not None) else None
         )
 
-    with timed("spanning_forest_cs"):
-        from goffish_v3_spark.operators.spanning_forest import spanning_forest
+    from goffish_v3_spark.operators.spanning_forest import spanning_forest
 
-        tree, _ = spanning_forest(spark, cs, num_parts=CPUS)
-        tree.count()
+    b.run(
+        "spanning_forest_cs",
+        lambda: spanning_forest(spark, cs, num_parts=CPUS)[0].count(),
+    )
 
     cp = copart_edges(spark, SF_DIR).persist()
     n_cp = cp.count()
-    with timed("triangle_count_copart"):
-        extra["triangles_copart"] = triangle_count(cp)
-    with timed("kcore3_copart"):
-        from goffish_v3_spark.operators.kcore import k_core
+    extra["triangles_copart"] = b.run(
+        "triangle_count_copart", lambda: triangle_count(cp)
+    )
+    from goffish_v3_spark.operators.kcore import core_numbers, k_core
 
-        k_core(spark, cp, k=3).count()
-    with timed("core_numbers_copart"):
-        from goffish_v3_spark.operators.kcore import core_numbers
-
-        core_numbers(spark, cp, num_parts=CPUS).count()
+    b.run("kcore3_copart", lambda: k_core(spark, cp, k=3).count())
+    b.run(
+        "core_numbers_copart",
+        lambda: core_numbers(spark, cp, num_parts=CPUS).count(),
+    )
     extra["copart_edges"] = n_cp
     cp.unpersist()
     cs.unpersist()
 
+    # ---- triangle skew probe: wedges ∝ Σ deg² make the wedge join the one
+    # quadratic-risk operator in the suite (VERDICT r4 #9). A Zipf-ish
+    # skewed-degree fixture an order of magnitude above copart checks the
+    # ordered-orientation guard (hubs orient their wedge fan to LOW-degree
+    # endpoints, capping per-key wedge width) at bench scale; the wedge count
+    # is recorded so a quadratic blow-up is a visible number, not a hang.
+    from goffish_v3_spark.sources.synthetic import generate_skewed_edges
+    from goffish_v3_spark.operators.triangles import wedge_count
+
+    skew = generate_skewed_edges(spark, n_edges=10_000_000, n_vertices=1_000_000)
+    skew = skew.persist()
+    extra["triangle_skew_edges"] = skew.count()
+    # id orientation would materialize ~7e10 wedge rows on this fixture —
+    # the guard must pick degree orientation (~4.4e7); both counts recorded
+    # so a quadratic regression is a visible number
+    extra["triangle_skew_wedges_id"] = wedge_count(skew, "id")
+    extra["triangle_skew_wedges_degree"] = wedge_count(skew, "degree")
+    extra["triangles_skew"] = b.run(
+        "triangle_count_skew10m", lambda: triangle_count(skew)
+    )
+    skew.unpersist()
+
     # ---- flagship: synthetic repos → ingest → PageRank ------------------
-    with timed("repo_ingest"):
+    state: dict[str, object] = {"g_edges": None}
+
+    def _ingest():
+        if state["g_edges"] is not None:  # re-run after a flagged window
+            state["g_edges"].unpersist()
         repos = generate_repos(spark, n_repos=100, files_per_repo=300, seed=42)
         graph = ingest(repos)
-        g_edges = graph.edges.persist()
-        n_repo_edges = g_edges.count()
-    with timed("repo_pagerank_10it"):
-        scores, info = pagerank_with_info(spark, g_edges, fixed_iterations=PR_BENCH_ITERS)
+        state["g_edges"] = graph.edges.persist()
+        return state["g_edges"].count()
+
+    n_repo_edges = b.run("repo_ingest", _ingest)
+    g_edges = state["g_edges"]
+
+    def _repo_pr():
+        scores, info = pagerank_with_info(
+            spark, g_edges, fixed_iterations=PR_BENCH_ITERS
+        )
         scores.count()
+
+    b.run("repo_pagerank_10it", _repo_pr)
     extra["repo_edges"] = n_repo_edges
     extra["repo_edges_traversed_per_sec"] = round(
-        PR_BENCH_ITERS * n_repo_edges / timings["repo_pagerank_10it"], 1
+        PR_BENCH_ITERS * n_repo_edges / b.timings["repo_pagerank_10it"], 1
     )
+
     # explicit hub salting (north_rule): same query through the two-stage
     # salted contribution aggregation — the repo graph's repo-0 hub is the
     # "stdlib imported by everyone" skew case
-    with timed("repo_pagerank_10it_salted"):
+    def _repo_pr_salted():
         scores, _ = pagerank_with_info(
             spark, g_edges, fixed_iterations=PR_BENCH_ITERS, salt_threshold=1000
         )
         scores.count()
+
+    b.run("repo_pagerank_10it_salted", _repo_pr_salted)
+
     # north_rule end-to-end: the same flagship run with the checkpoint store
     # + per-partition lineage metrics ON (resumable mid-iteration; metrics
     # parquet persisted per commit) — the overhead vs repo_pagerank_10it is
@@ -248,12 +411,16 @@ def main() -> None:
     import tempfile
 
     ckpt = tempfile.mkdtemp(prefix="goffish_bench_ckpt_")
-    with timed("repo_pagerank_10it_ckpt_metrics"):
+
+    def _repo_pr_ckpt():
         scores, info_m = pagerank_with_info(
             spark, g_edges, fixed_iterations=PR_BENCH_ITERS,
             checkpoint_dir=ckpt, checkpoint_every=5, partition_metrics=True,
         )
         scores.count()
+        return info_m
+
+    info_m = b.run("repo_pagerank_10it_ckpt_metrics", _repo_pr_ckpt)
     mdf = spark.read.parquet(f"{ckpt}/{info_m.run_id}/metrics")
     extra["partition_metrics_rows"] = mdf.count()
     extra["partition_metrics_parts"] = mdf.filter(F.col("part") >= 0).select(
@@ -262,70 +429,88 @@ def main() -> None:
     g_edges.unpersist()
 
     # ---- out-degree hub twin: the skew axis src-hash partitioning cannot
-    # absorb (one SMJ task owns the hub's whole adjacency). Salting must WIN
-    # here, not just break even — the in-degree-hub repo graph above shows
-    # salted ≈ unsalted, this shows the measured upside.
+    # absorb (one SMJ task owns the hub's whole adjacency). The repo graph
+    # above shows the in-degree-hub case; this shows the out-degree side.
+    # Each attempt is canary-bracketed, so the derived speedup can only come
+    # from host-clean walls (r4's 1.36x artifact came from a throttle window
+    # inflating the unsalted pair).
     from goffish_v3_spark.sources.synthetic import generate_hub_out_edges
 
-    # hub sized so the skewed SMJ task (~2M edges vs ~47k typical) dominates
-    # the superstep, not the fixed per-job overhead; min-of-2 per variant
-    # because single ~10 s walls on this box swing ±2× with host throttling
     hub_edges = generate_hub_out_edges(spark, hub_out_degree=2_000_000).persist()
     n_hub_edges = hub_edges.count()
 
-    def _min_of_2(name: str, **kw) -> None:
-        walls = []
-        for _ in range(2):
-            t0 = time.monotonic()
+    def _hub(name: str, **kw) -> None:
+        def fn():
             scores, _ = pagerank_with_info(spark, hub_edges, fixed_iterations=5, **kw)
             scores.count()
-            walls.append(round(time.monotonic() - t0, 3))
-        timings[name] = min(walls)
-        extra[f"{name}_runs"] = walls
 
-    _min_of_2("hub_pagerank_5it")
-    _min_of_2("hub_pagerank_5it_salted", salt_threshold=100_000, num_salts=32)
+        b.run(name, fn, reruns=2)  # single ~10s walls swing most; 2 retries
+
+    _hub("hub_pagerank_5it")
+    _hub("hub_pagerank_5it_salted", salt_threshold=100_000, num_salts=32)
     extra["hub_edges"] = n_hub_edges
-    extra["hub_salting_speedup"] = round(
-        timings["hub_pagerank_5it"] / timings["hub_pagerank_5it_salted"], 3
-    )
+    un, sa = b.clean_wall("hub_pagerank_5it"), b.clean_wall("hub_pagerank_5it_salted")
+    if un is not None and sa is not None:
+        extra["hub_salting_speedup"] = round(un / sa, 3)
+    else:
+        extra["hub_salting_speedup"] = None
+        extra["hub_salting_note"] = (
+            "no host-clean run for one or both hub variants — speedup withheld "
+            "rather than reported from a contaminated window"
+        )
     hub_edges.unpersist()
 
     # ---- training-data pipeline suite ------------------------------------
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    with timed("doc_quality"):
-        quality_features(docs).agg(F.avg("quality_score")).collect()
-    with timed("minhash_lsh"):
-        minhash_lsh_pairs(docs, jaccard_threshold=0.5).count()
+    b.run(
+        "doc_quality",
+        lambda: quality_features(docs).agg(F.avg("quality_score")).collect(),
+    )
+    b.run(
+        "minhash_lsh", lambda: minhash_lsh_pairs(docs, jaccard_threshold=0.5).count()
+    )
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    with timed("ann_cosine_top5"):
-        cosine_topk(emb.filter(F.col("vec_id") < 50), emb, k=5).count()
+    b.run(
+        "ann_cosine_top5",
+        lambda: cosine_topk(emb.filter(F.col("vec_id") < 50), emb, k=5).count(),
+    )
 
-    # ---- closing canary: a green opening canary only certifies the START
-    # of the run; this box's windows can throttle mid-suite (measured
-    # 2026-08-18: same suite 196 s → 356 s with the opening canary green
-    # both times — lpa_cs 6.7 s vs 63 s). A run is trustworthy only if BOTH
-    # canaries are green.
-    extra["canary_end_sec"] = round(_host_speed_canary(spark), 3)
-    if canary_ref is not None:
-        end_ok = extra["canary_end_sec"] <= HOST_SPEED_FACTOR * canary_ref
+    # ---- closing canary: end-of-envelope check kept alongside the
+    # per-query brackets for continuity with r3/r4 JSONs.
+    extra["canary_end_sec"] = round(_canary_job(spark), 3)
+    if cold_ref is not None:
+        # the closing canary runs warm — gate it against the warm reference
+        end_ref = warm_ref if warm_ref is not None else cold_ref
+        end_ok = extra["canary_end_sec"] <= WARM_SPEED_FACTOR * end_ref
         extra["host_speed_ok"] = bool(extra["host_speed_ok"]) and end_ok
         if not end_ok:
             extra["host_speed_note"] = (
                 f"closing canary {extra['canary_end_sec']}s > "
-                f"{HOST_SPEED_FACTOR}x reference {canary_ref}s: the host "
+                f"{WARM_SPEED_FACTOR}x reference {end_ref}s: the host "
                 "window degraded DURING the run — wall times overstate"
             )
             print(f"[bench] WARNING: {extra['host_speed_note']}", file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
+    # per-query host integrity summary
+    extra["host_ok_by_query"] = {k: m["host_ok"] for k, m in b.meta.items()}
+    extra["canary_by_query"] = {k: m["canary"] for k, m in b.meta.items()}
+    flagged = {
+        k: m["runs"] for k, m in b.meta.items() if m["runs"] is not None
+    }
+    if flagged:
+        extra["flagged_query_runs"] = flagged
+    extra["all_queries_host_ok"] = all(m["host_ok"] for m in b.meta.values())
+    extra["canary_overhead_sec"] = round(guard.canary_overhead, 3)
+    extra["n_interleaved_canaries"] = guard.n_canaries
+
+    total = round(sum(b.timings.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "goffish_v3_spark headline suite (graph + pipeline) wall time",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": b.timings,
                 "sf": SF_DIR,
                 "cpus": CPUS,
                 "extra": extra,

@@ -16,6 +16,23 @@ the join key, which *is* the wedge routing, minus the custom byte packing
     wedge(u,v,w)   : e(u,v) ⋈ e(v,w)          -- u<v<w by construction
     triangle       : wedge semi-join e(u,w)
 
+Scale note — the wedge join is THE quadratic-risk operator in this engine
+(wedges ∝ Σ per-key fan-in × fan-out; a mid-id-range hub of degree d
+contributes ~(d/2)² wedges under id orientation). Two defenses, both here:
+
+- ``orientation="degree"`` orients every edge from its lower-(degree, id)
+  endpoint to the higher one; each triangle then has exactly one vertex with
+  two out-edges, and per-vertex out-degree is bounded by O(sqrt(m)) for any
+  graph, so wedges ≤ m^1.5 worst-case and ≈ m·avg_deg typically — hubs
+  contribute ZERO wedges (all their edges point into them). Costs one degree
+  aggregation + two degree joins more than the id path.
+- ``orientation="auto"`` (default) measures the id-oriented wedge count with
+  a cheap O(m) aggregate (never materializing wedges) and falls back to
+  degree orientation when it is explosive — the wedge-count guard
+  (VERDICT r4 #9). Callers that know their degree distribution can pin
+  "id" (uniform-ish graphs, 2-exchange plan) or "degree" (skewed graphs)
+  and skip the probe jobs.
+
 Per-vertex counts explode each triangle's three corners and aggregate.
 """
 
@@ -24,6 +41,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# auto mode: id orientation is kept while id_wedges ≤ this multiple of the
+# oriented edge count (avg wedge-join fan ≤ 16 → linear-ish work); above it
+# the degree path's extra joins are cheaper than the blown-up wedge join
+AUTO_WEDGE_FAN_LIMIT = 16
+
 
 def oriented_edges(edges: DataFrame, partition_into: int | None = None) -> DataFrame:
     """Undirected edge set, canonical orientation u<v, deduped.
@@ -31,7 +53,7 @@ def oriented_edges(edges: DataFrame, partition_into: int | None = None) -> DataF
     With ``partition_into`` the dedup rides a single repartition-by-u
     exchange (HashPartitioning(u) satisfies the (u,v) dedup's clustering —
     the one-exchange layout shared with the pagerank/sssp/lpa setups) and
-    the output stays hash-partitioned on u for the caller to cache."""
+    the output stays hash-partitioned on u for the caller's joins."""
     e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
     o = e.select(
         F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
@@ -41,52 +63,155 @@ def oriented_edges(edges: DataFrame, partition_into: int | None = None) -> DataF
     return o.repartition(partition_into, "u").dropDuplicates(["u", "v"])
 
 
-def triangles(edges: DataFrame) -> DataFrame:
-    """All triangles as ``(u, v, w)`` with u<v<w, each exactly once.
-
-    The oriented edge table is hash-partitioned on ``u``: the wedge
-    join's e2 side (joined on its u, renamed v) and the closure join's
-    edge side (keys (cu, cw) ⊇ {cu}) both reuse that partitioning, so of
-    the five edge/wedge-table exchanges the naive plan pays (dedup, both
-    wedge-join sides, both closure sides) only two remain — e1 into the
-    wedge join and the wedges into the closure.
-
-    No ``persist`` here: the three uses of ``e`` share one canonical
-    repartition exchange, so exchange reuse serves them from a single
-    shuffle write (measured: walls identical with/without persist at
-    sf0.01). A persist inside a lazy-returning function leaked cached
-    tables for the session lifetime (VERDICT r4 #2); callers wanting an
-    explicit cache can pass a persisted ``oriented_edges`` result through
-    their own plan."""
-    n_shuffle = int(
-        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+def _degree_oriented(o: DataFrame) -> DataFrame:
+    """Re-orient id-oriented pairs from the lower-(degree, id) endpoint:
+    ``(a, b, db)`` with key(a) < key(b) under key(x) = (deg(x), x); ``db``
+    (= deg(b)) rides along so the wedge stage can order wedge endpoints by
+    the same key without re-joining degrees."""
+    deg = (
+        o.select(F.col("u").alias("x"))
+        .unionAll(o.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").alias("deg"))
     )
-    e = oriented_edges(edges, partition_into=n_shuffle)
+    e = (
+        o.join(deg.select(F.col("x").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("x").alias("v"), F.col("deg").alias("dv")), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    return e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    )
+
+
+def _id_wedge_count(o: DataFrame) -> int:
+    """Id-oriented wedge-join output size WITHOUT materializing it:
+    Σ_x (#edges with v=x) × (#edges with u=x) — one O(m) aggregate."""
+    as_v = o.groupBy(F.col("v").alias("x")).agg(F.count("*").alias("n1"))
+    as_u = o.groupBy(F.col("u").alias("x")).agg(F.count("*").alias("n2"))
+    row = as_v.join(as_u, "x").agg(
+        F.sum(F.col("n1") * F.col("n2")).alias("w")
+    ).collect()[0]
+    return int(row.w or 0)
+
+
+def _degree_wedge_count(do: DataFrame) -> int:
+    """Degree-oriented wedge count: Σ_a C(outdeg(a), 2)."""
+    row = (
+        do.groupBy("a")
+        .agg(F.count("*").alias("od"))
+        .agg((F.sum(F.col("od") * (F.col("od") - 1)) / 2).alias("w"))
+        .collect()[0]
+    )
+    return int(row.w or 0)
+
+
+def wedge_count(edges: DataFrame, orientation: str = "id") -> int:
+    """Size of the wedge-join intermediate under the given orientation —
+    the number that decides whether a triangle job is linear-ish or
+    quadratic, computed by cheap aggregation (never materializing wedges)."""
+    o = oriented_edges(edges)
+    if orientation == "id":
+        return _id_wedge_count(o)
+    if orientation == "degree":
+        return _degree_wedge_count(_degree_oriented(o))
+    raise ValueError(f"orientation must be 'id' or 'degree', got {orientation!r}")
+
+
+def _triangles_id(e: DataFrame) -> DataFrame:
+    """Two self-joins over id-oriented pairs. The table is hash-partitioned
+    on ``u``: the wedge join's e2 side (joined on its u, renamed v) and the
+    closure join's edge side (keys (cu, cw) ⊇ {cu}) both reuse that
+    partitioning, so of the five edge/wedge-table exchanges the naive plan
+    pays only two remain — e1 into the wedge join and the wedges into the
+    closure. The three uses of ``e`` share one canonical repartition
+    exchange (exchange reuse; no persist — a persist here leaked cached
+    tables for the session lifetime, VERDICT r4 #2)."""
     e1 = e.alias("e1")
     e2 = e.select(F.col("u").alias("v"), F.col("v").alias("w")).alias("e2")
     wedges = e1.join(e2, "v").select("u", "v", "w")
-    closed = wedges.join(
+    return wedges.join(
         e.select(F.col("u").alias("cu"), F.col("v").alias("cw")),
         (F.col("u") == F.col("cu")) & (F.col("w") == F.col("cw")),
         "left_semi",
     )
-    return closed
 
 
-def triangle_count(edges: DataFrame) -> int:
+def _triangles_degree(o: DataFrame) -> DataFrame:
+    """Wedge at the triangle's lowest-(degree, id) corner: both out-edges
+    (a,b),(a,c) self-join on a; the endpoint pair is kept in key order
+    (db,b) < (dc,c), which is exactly how the closing edge {b,c} is stored
+    in the oriented table, so the closure is one equi-semi-join. Output
+    re-sorted to the reference's vid1<vid2<vid3 triple."""
+    do = _degree_oriented(o)
+    t1 = do.alias("t1")
+    t2 = do.select(
+        F.col("a").alias("a2"), F.col("b").alias("c"), F.col("db").alias("dc")
+    ).alias("t2")
+    wedges = (
+        t1.join(t2, F.col("a") == F.col("a2"))
+        .filter(
+            (F.col("db") < F.col("dc"))
+            | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+        )
+        .select("a", "b", "c")
+    )
+    closed = wedges.join(
+        do.select(F.col("a").alias("pb"), F.col("b").alias("pc")),
+        (F.col("b") == F.col("pb")) & (F.col("c") == F.col("pc")),
+        "left_semi",
+    )
+    t = closed.select(F.array_sort(F.array("a", "b", "c")).alias("t"))
+    return t.select(
+        F.col("t")[0].alias("u"), F.col("t")[1].alias("v"), F.col("t")[2].alias("w")
+    )
+
+
+def triangles(edges: DataFrame, orientation: str = "auto") -> DataFrame:
+    """All triangles as ``(u, v, w)`` with u<v<w, each exactly once.
+
+    ``orientation``: "id" (2-exchange plan, right for uniform-ish degree),
+    "degree" (hub-proof, wedges ≤ m^1.5), or "auto" (default — probe the
+    id-oriented wedge count with one aggregate and switch to degree when
+    the fan exceeds :data:`AUTO_WEDGE_FAN_LIMIT` × edges, the wedge-count
+    guard)."""
+    if orientation not in ("id", "degree", "auto"):
+        raise ValueError(
+            f"orientation must be 'id', 'degree' or 'auto', got {orientation!r}"
+        )
+    n_shuffle = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    e = oriented_edges(edges, partition_into=n_shuffle)
+    if orientation == "auto":
+        m = e.count()
+        idw = _id_wedge_count(e)
+        orientation = "id" if idw <= AUTO_WEDGE_FAN_LIMIT * max(m, 1) else "degree"
+    if orientation == "id":
+        return _triangles_id(e)
+    return _triangles_degree(e)
+
+
+def triangle_count(edges: DataFrame, orientation: str = "auto") -> int:
     """Global triangle count (reference's aggregate subgraph value,
     TriangleCount.java:252)."""
-    return triangles(edges).count()
+    return triangles(edges, orientation=orientation).count()
 
 
-def triangle_count_df(edges: DataFrame) -> DataFrame:
+def triangle_count_df(edges: DataFrame, orientation: str = "auto") -> DataFrame:
     """Global count as a 1-row DataFrame ``(triangles long)`` for oracles."""
-    return triangles(edges).agg(F.count("*").alias("triangles"))
+    return triangles(edges, orientation=orientation).agg(
+        F.count("*").alias("triangles")
+    )
 
 
-def triangles_per_vertex(edges: DataFrame) -> DataFrame:
+def triangles_per_vertex(edges: DataFrame, orientation: str = "auto") -> DataFrame:
     """``(vid long, triangles long)`` — per-vertex incident triangle count."""
-    t = triangles(edges)
+    t = triangles(edges, orientation=orientation)
     corners = (
         t.select(F.col("u").alias("vid"))
         .unionAll(t.select(F.col("v").alias("vid")))

@@ -89,6 +89,42 @@ def generate_hub_out_edges(
     return base.unionByName(hub).filter(F.col("src") != F.col("dst"))
 
 
+def generate_skewed_edges(
+    spark: SparkSession,
+    n_edges: int = 10_000_000,
+    n_vertices: int = 1_000_000,
+    seed: int = 11,
+) -> DataFrame:
+    """Zipf-skewed-degree undirected-ish edge fixture for the triangle
+    wedge-join probe (VERDICT r4 #9): src drawn Zipf(s≈1) via the inverse
+    CDF ``rank = floor((n+1)^u) - 1`` (rank 0 collects ~ln2/ln(n+1) of all
+    edges — ~5% at n=10^6, a ~500k-degree hub at the default size), dst
+    uniform. Ranks are scattered over id space by an affine bijection that
+    lands rank 0 MID-RANGE (vid ≈ n/2): under id-ordered wedge orientation
+    a mid-id hub splits its neighbors across both sides and contributes
+    ~(d/2)² wedges — the adversarial case the degree-orientation guard in
+    :mod:`operators.triangles` must catch. Deterministic in all args; pure
+    column expressions over ``spark.range`` (no driver loops, no UDFs)."""
+    m31 = 2147483647  # 2^31 - 1
+    # pmod the row id into [0, m31) BEFORE multiplying so id × multiplier
+    # never overflows LongType at any n_edges (2^31 × 2.7e9 < 2^63)
+    rid = F.pmod(F.col("id"), F.lit(m31))
+    u1 = F.pmod(rid * F.lit(2654435761) + F.lit(seed), F.lit(m31)) / F.lit(float(m31))
+    rank = F.least(
+        F.floor(F.pow(F.lit(float(n_vertices + 1)), u1)) - 1,
+        F.lit(n_vertices - 1),
+    )
+    # affine bijection over Z_n (48271 coprime to any n not divisible by it):
+    # rank 0 → n/2, heavy ranks scattered across id space
+    src = F.pmod(rank * F.lit(48271) + F.lit(n_vertices // 2), F.lit(n_vertices))
+    dst = F.pmod(rid * F.lit(1866245627) + F.lit(seed * 7 + 1), F.lit(n_vertices))
+    return (
+        spark.range(0, n_edges)
+        .select(src.cast("long").alias("src"), dst.cast("long").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+
+
 def generate_repos(
     spark: SparkSession,
     n_repos: int = 3,

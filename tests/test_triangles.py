@@ -49,3 +49,81 @@ def test_triangle_count_leaves_no_persisted_tables(spark):
     assert triangle_count(df) == comb(8, 3)
     after = spark.sparkContext._jsc.getPersistentRDDs().size()
     assert after == before
+
+
+def test_degree_orientation_matches_id(spark):
+    """The hub-proof degree orientation (wedge-count guard) finds exactly
+    the same triangle set as the id orientation."""
+    from goffish_v3_spark.operators.triangles import triangles
+
+    edges = graphs.barabasi_albert(150, m=3)
+    df = graphs.to_df(spark, edges)
+    tid = sorted((r.u, r.v, r.w) for r in triangles(df, orientation="id").collect())
+    tdeg = sorted(
+        (r.u, r.v, r.w) for r in triangles(df, orientation="degree").collect()
+    )
+    assert tid == tdeg
+    assert triangle_count(df) == triangle_oracle(edges)  # auto default
+
+
+def test_auto_guard_picks_degree_on_mid_id_hub(spark):
+    """A mid-id-range hub makes id-oriented wedges quadratic ((d/2)² at one
+    key); the auto guard must detect it via the cheap wedge-count probe and
+    route through degree orientation — whose wedge count stays linear-ish."""
+    from pyspark.sql import functions as F
+
+    from goffish_v3_spark.operators.triangles import (
+        AUTO_WEDGE_FAN_LIMIT,
+        _degree_oriented,
+        _degree_wedge_count,
+        _id_wedge_count,
+        oriented_edges,
+        wedge_count,
+    )
+
+    n, hub = 2000, 1000
+    ring = [(i, (i + 1) % n) for i in range(n)]
+    star = [(hub, x) for x in range(n) if x != hub]
+    df = graphs.to_df(spark, ring + star)
+    o = oriented_edges(df)
+    m = o.count()
+    idw = _id_wedge_count(o)
+    dw = _degree_wedge_count(_degree_oriented(o))
+    assert idw > AUTO_WEDGE_FAN_LIMIT * m  # guard trips
+    assert dw <= 4 * m  # degree path stays linear-ish
+    assert wedge_count(df, "id") == idw
+    assert wedge_count(df, "degree") == dw
+    # and the auto answer is still exact
+    got = triangle_count(df)
+    assert got == triangle_oracle(ring + star)
+
+
+def test_skewed_fixture_deterministic_and_skewed(spark):
+    from pyspark.sql import functions as F
+
+    from goffish_v3_spark.sources.synthetic import generate_skewed_edges
+
+    a = generate_skewed_edges(spark, n_edges=20_000, n_vertices=2_000)
+    b = generate_skewed_edges(spark, n_edges=20_000, n_vertices=2_000)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    deg = (
+        a.select(F.col("src").alias("x"))
+        .unionAll(a.select(F.col("dst").alias("x")))
+        .groupBy("x")
+        .count()
+    )
+    top, med = deg.agg(F.max("count"), F.median("count")).collect()[0]
+    assert top > 50 * med  # genuinely skewed
+    # the heavy vertex sits mid-id-range (the id-orientation adversary)
+    hub = deg.orderBy(F.desc("count")).first().x
+    assert 0.3 * 2000 < hub < 0.7 * 2000
+
+
+def test_orientation_validation(spark):
+    import pytest
+
+    from goffish_v3_spark.operators.triangles import triangles
+
+    df = graphs.to_df(spark, graphs.clique(5))
+    with pytest.raises(ValueError, match="orientation"):
+        triangles(df, orientation="nope")
