@@ -41,10 +41,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# auto mode: id orientation is kept while id_wedges ≤ this multiple of the
-# oriented edge count (avg wedge-join fan ≤ 16 → linear-ish work); above it
-# the degree path's extra joins are cheaper than the blown-up wedge join
-AUTO_WEDGE_FAN_LIMIT = 16
+# auto mode: switch to degree orientation when ONE wedge-join key would
+# produce more wedges than the whole edge count — a single SMJ task holding
+# more work than the entire linear pass is the hub/quadratic signature
+# (a vertex of degree ~2·sqrt(m) split across its id sits exactly at this
+# boundary, the classic orientation threshold). Total wedge volume alone is
+# NOT a skew signal: a uniform graph with avg degree d legitimately makes
+# ~m·d/4 wedges spread evenly, and the degree path would produce a similar
+# volume while paying two extra degree joins (measured: copart sf0.1 id
+# 6 s vs degree 17 s at ~equal wedge counts).
+AUTO_HUB_WEDGE_LIMIT_FACTOR = 1  # max per-key wedges > factor × m → degree
 
 
 def oriented_edges(edges: DataFrame, partition_into: int | None = None) -> DataFrame:
@@ -88,15 +94,21 @@ def _degree_oriented(o: DataFrame) -> DataFrame:
     )
 
 
-def _id_wedge_count(o: DataFrame) -> int:
-    """Id-oriented wedge-join output size WITHOUT materializing it:
-    Σ_x (#edges with v=x) × (#edges with u=x) — one O(m) aggregate."""
+def _id_wedge_stats(o: DataFrame) -> tuple[int, int]:
+    """``(total, max_per_key)`` id-oriented wedge-join output size WITHOUT
+    materializing it: per key x the join emits (#edges with v=x) ×
+    (#edges with u=x) rows — one O(m) aggregate."""
     as_v = o.groupBy(F.col("v").alias("x")).agg(F.count("*").alias("n1"))
     as_u = o.groupBy(F.col("u").alias("x")).agg(F.count("*").alias("n2"))
     row = as_v.join(as_u, "x").agg(
-        F.sum(F.col("n1") * F.col("n2")).alias("w")
+        F.sum(F.col("n1") * F.col("n2")).alias("w"),
+        F.max(F.col("n1") * F.col("n2")).alias("mx"),
     ).collect()[0]
-    return int(row.w or 0)
+    return int(row.w or 0), int(row.mx or 0)
+
+
+def _id_wedge_count(o: DataFrame) -> int:
+    return _id_wedge_stats(o)[0]
 
 
 def _degree_wedge_count(do: DataFrame) -> int:
@@ -176,8 +188,8 @@ def triangles(edges: DataFrame, orientation: str = "auto") -> DataFrame:
 
     ``orientation``: "id" (2-exchange plan, right for uniform-ish degree),
     "degree" (hub-proof, wedges ≤ m^1.5), or "auto" (default — probe the
-    id-oriented wedge count with one aggregate and switch to degree when
-    the fan exceeds :data:`AUTO_WEDGE_FAN_LIMIT` × edges, the wedge-count
+    per-key wedge maximum with one aggregate and switch to degree when a
+    single key would out-produce the whole edge table, the wedge-count
     guard)."""
     if orientation not in ("id", "degree", "auto"):
         raise ValueError(
@@ -189,8 +201,10 @@ def triangles(edges: DataFrame, orientation: str = "auto") -> DataFrame:
     e = oriented_edges(edges, partition_into=n_shuffle)
     if orientation == "auto":
         m = e.count()
-        idw = _id_wedge_count(e)
-        orientation = "id" if idw <= AUTO_WEDGE_FAN_LIMIT * max(m, 1) else "degree"
+        _, maxw = _id_wedge_stats(e)
+        orientation = (
+            "id" if maxw <= AUTO_HUB_WEDGE_LIMIT_FACTOR * max(m, 1) else "degree"
+        )
     if orientation == "id":
         return _triangles_id(e)
     return _triangles_degree(e)

@@ -73,10 +73,10 @@ def test_auto_guard_picks_degree_on_mid_id_hub(spark):
     from pyspark.sql import functions as F
 
     from goffish_v3_spark.operators.triangles import (
-        AUTO_WEDGE_FAN_LIMIT,
+        AUTO_HUB_WEDGE_LIMIT_FACTOR,
         _degree_oriented,
         _degree_wedge_count,
-        _id_wedge_count,
+        _id_wedge_stats,
         oriented_edges,
         wedge_count,
     )
@@ -87,9 +87,9 @@ def test_auto_guard_picks_degree_on_mid_id_hub(spark):
     df = graphs.to_df(spark, ring + star)
     o = oriented_edges(df)
     m = o.count()
-    idw = _id_wedge_count(o)
+    idw, maxw = _id_wedge_stats(o)
     dw = _degree_wedge_count(_degree_oriented(o))
-    assert idw > AUTO_WEDGE_FAN_LIMIT * m  # guard trips
+    assert maxw > AUTO_HUB_WEDGE_LIMIT_FACTOR * m  # guard trips (hub key)
     assert dw <= 4 * m  # degree path stays linear-ish
     assert wedge_count(df, "id") == idw
     assert wedge_count(df, "degree") == dw
