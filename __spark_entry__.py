@@ -458,6 +458,49 @@ SELECT vid, count(*) AS triangles FROM (
 ) GROUP BY vid
 """
 
+# Deterministic Zipf-skewed fixture (sources/synthetic.generate_skewed_edges
+# at n_edges=100k, n_vertices=10k, seed=11), regenerated in pure SQL: src is
+# Zipf via inverse CDF rank = floor((n+1)^u) - 1 with the heavy rank-0 vertex
+# scattered to MID id-range (the id-orientation wedge adversary), dst uniform.
+# Exercises the triangle wedge-count guard end-to-end: max per-key wedges >>
+# edge count, so orientation='auto' must route through the degree-oriented
+# (hub-proof) plan and still match the plain SQL triangle join.
+SKEW_GEN_SQL = """
+SELECT CAST((rank * 48271 + 5000) % 10000 AS BIGINT) AS src,
+       CAST(((id % 2147483647) * 1866245627 + 78) % 10000 AS BIGINT) AS dst
+FROM (
+  SELECT id,
+         least(CAST(floor(power(10001.0, u1)) AS BIGINT) - 1, 9999) AS rank
+  FROM (
+    SELECT range AS id,
+           (((range % 2147483647) * 2654435761 + 11) % 2147483647)
+             / 2147483647.0 AS u1
+    FROM range(0, 100000)
+  )
+)
+"""
+
+SKEW_ORIENTED_SQL = f"""
+SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+FROM ({SKEW_GEN_SQL}) WHERE src <> dst
+"""
+
+TC_SKEW_SQL = f"""
+WITH e AS ({SKEW_ORIENTED_SQL})
+SELECT count(*) AS triangles
+FROM e e1 JOIN e e2 ON e1.dst = e2.src JOIN e e3
+  ON e3.src = e1.src AND e3.dst = e2.dst
+"""
+
+WEDGE_STATS_SKEW_SQL = f"""
+WITH e AS ({SKEW_ORIENTED_SQL}),
+n1 AS (SELECT dst AS x, count(*) AS n1 FROM e GROUP BY dst),
+n2 AS (SELECT src AS x, count(*) AS n2 FROM e GROUP BY src)
+SELECT CAST(sum(n1 * n2) AS BIGINT) AS total_wedges,
+       CAST(max(n1 * n2) AS BIGINT) AS max_key_wedges
+FROM n1 JOIN n2 USING (x)
+"""
+
 DEGREE_HIST_SQL = f"""
 WITH e AS ({CS_EDGES_SQL})
 SELECT deg, count(*) AS n_vertices FROM (
@@ -863,6 +906,35 @@ def _q_tc_vertex_copart(spark: SparkSession, sf: str) -> DataFrame:
     from goffish_v3_spark.operators.triangles import triangles_per_vertex
 
     return triangles_per_vertex(copart_edges(spark, sf))
+
+
+def _q_tc_skew(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangle count over the Zipf mid-id-hub fixture: the auto wedge
+    guard trips (max per-key wedges >> edges) and routes through the
+    degree-oriented plan — hash-checked against the plain SQL join."""
+    from goffish_v3_spark.operators.triangles import triangle_count_df
+    from goffish_v3_spark.sources.synthetic import generate_skewed_edges
+
+    return triangle_count_df(
+        generate_skewed_edges(spark, n_edges=100_000, n_vertices=10_000)
+    )
+
+
+def _q_wedge_stats_skew(spark: SparkSession, sf: str) -> DataFrame:
+    """The guard's probe itself: id-oriented wedge total and per-key max,
+    computed by aggregation without materializing wedges."""
+    from goffish_v3_spark.operators.triangles import oriented_edges
+    from goffish_v3_spark.sources.synthetic import generate_skewed_edges
+
+    o = oriented_edges(
+        generate_skewed_edges(spark, n_edges=100_000, n_vertices=10_000)
+    )
+    as_v = o.groupBy(F.col("v").alias("x")).agg(F.count("*").alias("n1"))
+    as_u = o.groupBy(F.col("u").alias("x")).agg(F.count("*").alias("n2"))
+    return as_v.join(as_u, "x").agg(
+        F.sum(F.col("n1") * F.col("n2")).alias("total_wedges"),
+        F.max(F.col("n1") * F.col("n2")).alias("max_key_wedges"),
+    )
 
 
 def _q_degree_hist_cs(spark: SparkSession, sf: str) -> DataFrame:
@@ -1371,6 +1443,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_csr_cs": _q_sssp_csr_cs,
         "triangle_count_copart": _q_tc_copart,
         "triangles_per_vertex_copart": _q_tc_vertex_copart,
+        "triangle_count_skew": _q_tc_skew,
+        "wedge_stats_skew": _q_wedge_stats_skew,
         "degree_histogram_cs": _q_degree_hist_cs,
         "graph_stats_cs": _q_graph_stats_cs,
         "kcore3_copart": _q_kcore_copart,
@@ -1417,6 +1491,8 @@ def oracle_sql() -> dict[str, str]:
         "sssp_csr_cs": SSSP_SQL,
         "triangle_count_copart": TC_SQL,
         "triangles_per_vertex_copart": TC_VERTEX_SQL,
+        "triangle_count_skew": TC_SKEW_SQL,
+        "wedge_stats_skew": WEDGE_STATS_SKEW_SQL,
         "degree_histogram_cs": DEGREE_HIST_SQL,
         "graph_stats_cs": GRAPH_STATS_SQL,
         "kcore3_copart": _kcore3_sql(),

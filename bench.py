@@ -124,7 +124,9 @@ class Bench:
         result = None
         for attempt in range(reruns + 1):
             before_wall, before_ok = self.guard.last_wall, self.guard.last_ok
-            if before_wall is None:  # first query: seed the bracket
+            if before_wall is None or not before_ok:
+                # first query (seed the bracket) or retry after a red window:
+                # re-probe instead of inheriting the stale red reading
                 before_wall, before_ok = self.guard.checkpoint()
             t0 = time.monotonic()
             result = fn()

@@ -208,6 +208,12 @@ def _make_consolidated_kernel(parts: list[int], blocks_path: str, cap: int | Non
             [[0]] + [np.diff(b.indptr) for b in blks]
         ).cumsum()
 
+        if len(state) != n:
+            # every vertex must carry a kind-0 row (kernels re-emit full
+            # state each superstep); a gap would leave np.empty garbage
+            raise RuntimeError(
+                f"consolidation: {len(state)} state rows for {n} vertices"
+            )
         est = np.empty(n, dtype=np.int64)
         est[to_pos(state["vid"].to_numpy(dtype=np.int64))] = state["a"].to_numpy(
             dtype=np.int64

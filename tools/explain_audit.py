@@ -42,6 +42,8 @@ AUDIT: dict[str, dict] = {
     "edges_cs": {},
     "triangle_count_copart": {},
     "triangles_per_vertex_copart": {},
+    "triangle_count_skew": {},
+    "wedge_stats_skew": {},
     "degree_histogram_cs": {},
     "graph_stats_cs": {},
     "vertex_count_cs": {},
