@@ -657,6 +657,35 @@ UNION ALL SELECT id_a, id_b, jaccard FROM intra
 
 MINHASH_DET_SQL = _minhash_det_sql(threshold=0.5)
 
+# near-dup CLUSTERS: transitive closure over the det LSH pair graph
+# (WITH RECURSIVE hash-min reachability), canonical = min doc id per
+# component, singletons map to themselves — the SQL twin of
+# dedup.near_dup_clusters (which routes the pair graph through the
+# engine's own wcc operator).
+NEAR_DUP_CLUSTERS_SQL = rf"""
+WITH RECURSIVE pairs AS (
+  SELECT * FROM (
+{MINHASH_DET_SQL}
+  ) _p
+), e AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+), canon AS (
+  SELECT d.doc_id,
+         LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS canonical_id
+  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+  GROUP BY d.doc_id
+)
+SELECT doc_id, canonical_id,
+       COUNT(*) OVER (PARTITION BY canonical_id) AS cluster_size
+FROM canon
+"""
+
 
 def _lsh_ann_sql(k=3, dim=64, n_planes=8, n_tables=4, seed=42) -> str:
     """Exact SQL replay of similarity.lsh_topk: the SAME seeded-numpy
@@ -1290,6 +1319,21 @@ def _q_minhash_pairs_det(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_near_dup_clusters_det(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup clusters over the det LSH pair graph: the pair generator is
+    minhash_lsh_pairs(hash_fn='poly') (hash-checked above as
+    minhash_lsh_pairs_det) and the component step is the engine's own wcc
+    operator — so this row hash-checks pair-generation AND clustering
+    end-to-end against a WITH RECURSIVE reachability oracle."""
+    from goffish_v3_spark.operators.dedup import minhash_lsh_pairs, near_dup_clusters
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    pairs = minhash_lsh_pairs(
+        docs, jaccard_threshold=0.5, hash_fn="poly", max_bucket_width=None
+    )
+    return near_dup_clusters(spark, docs, pairs=pairs)
+
+
 def _q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     from goffish_v3_spark.operators.text import fingerprint
 
@@ -1464,6 +1508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_tokens": _q_top_tokens,
         "minhash_lsh_pairs": _q_minhash_pairs,
         "minhash_lsh_pairs_det": _q_minhash_pairs_det,
+        "near_dup_clusters_det": _q_near_dup_clusters_det,
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_fingerprint_det": _q_doc_fingerprint_det,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -1517,6 +1562,7 @@ def oracle_sql() -> dict[str, str]:
         # minhash_lsh_pairs_det of the full LSH pipeline.
         "doc_fingerprint_det": DOC_FINGERPRINT_DET_SQL,
         "minhash_lsh_pairs_det": MINHASH_DET_SQL,
+        "near_dup_clusters_det": NEAR_DUP_CLUSTERS_SQL,
         "simhash_near_dups_det": SIMHASH_DET_SQL,
         "ann_cosine_top3": ANN_TOPK_SQL,
         "ivf_ann_exhaustive_top3": ANN_TOPK_SQL,

@@ -13,6 +13,9 @@ Five strategies over the ``documents`` table, each a first-class operator:
 - :func:`ngram_jaccard_pairs` — exact n-gram Jaccard for candidate pairs.
 - :func:`embedding_near_duplicates` — cosine-similarity near-dups over an
   ``array<float>`` embedding column (see operators.similarity).
+- :func:`near_dup_clusters` / :func:`dedup_keep_canonical` — transitive
+  clustering of any of the pair outputs above (connected components via
+  operators.wcc) and keep-one-canonical-per-cluster.
 
 Scale notes: LSH banding turns the O(n²) pair problem into groupBy(band,
 bucket) + within-bucket self-join — the shuffle key is the band hash, which
@@ -554,3 +557,63 @@ def simhash_near_duplicates(
         s = simhash(df, text_col).select(F.col(id_col).alias("_id"), "simhash")
         width = 64
     return _banded_pairs(s, width, max_hamming)
+
+
+def near_dup_clusters(
+    spark,
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    **lsh_kwargs,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: ``(doc_id, canonical_id, cluster_size)`` for
+    EVERY document — the step a real dedup pipeline runs after pair
+    generation (pairs alone under-delete: a~b and b~c must collapse to ONE
+    kept doc even when a~c was never emitted as a pair).
+
+    Connected components over the near-dup pair graph via the engine's own
+    :func:`operators.wcc.wcc` (partition-local union-find + meta hash-min —
+    the 100 TB path: edge payloads never reshuffle, only contracted labels
+    do). ``canonical_id`` = min doc id in the cluster; documents in no pair
+    map to themselves with cluster_size 1.
+
+    ``pairs``: any ``(id_a, id_b, …)`` near-dup pair table (minhash, simhash,
+    n-gram, embedding — they all emit this shape); defaults to
+    :func:`minhash_lsh_pairs` on ``df`` with ``lsh_kwargs`` passed through.
+    """
+    from pyspark.sql import Window
+
+    from goffish_v3_spark.operators.wcc import wcc
+
+    if pairs is None:
+        pairs = minhash_lsh_pairs(df, id_col=id_col, **lsh_kwargs)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comp = wcc(spark, edges)
+    labeled = (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(comp, F.col("doc_id") == F.col("vid"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("label"), F.col("doc_id")).alias("canonical_id"),
+        )
+    )
+    return labeled.withColumn(
+        "cluster_size", F.count("*").over(Window.partitionBy("canonical_id"))
+    )
+
+
+def dedup_keep_canonical(
+    spark,
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    **lsh_kwargs,
+) -> DataFrame:
+    """``df`` with one canonical representative (min id) kept per near-dup
+    cluster — :func:`near_dup_clusters` filtered to ``doc_id ==
+    canonical_id`` and joined back to the full rows."""
+    clusters = near_dup_clusters(spark, df, pairs=pairs, id_col=id_col, **lsh_kwargs)
+    keep = clusters.filter(F.col("doc_id") == F.col("canonical_id")).select(
+        F.col("doc_id").alias("_keep_id")
+    )
+    return df.join(keep, df[id_col] == F.col("_keep_id"), "left_semi")

@@ -299,3 +299,55 @@ def test_banded_pairs_degenerate_params(spark):
         _banded_pairs(s, 4, 4)
     with pytest.raises(ValueError, match="max_hamming"):
         _banded_pairs(s, 64, -1)
+
+
+def test_near_dup_clusters_transitive_chain(spark):
+    """a~b and b~c pairs must land in ONE cluster with canonical = min id,
+    even though a~c was never emitted; singletons map to themselves."""
+    from goffish_v3_spark.operators.dedup import near_dup_clusters
+
+    docs = spark.createDataFrame(
+        [(10, "x"), (20, "x"), (30, "x"), (40, "y"), (50, "z")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(10, 20, 0.9), (20, 30, 0.8)], "id_a long, id_b long, jaccard double"
+    )
+    out = {
+        r.doc_id: (r.canonical_id, r.cluster_size)
+        for r in near_dup_clusters(spark, docs, pairs=pairs).collect()
+    }
+    assert out == {
+        10: (10, 3),
+        20: (10, 3),
+        30: (10, 3),
+        40: (40, 1),
+        50: (50, 1),
+    }
+
+
+def test_near_dup_clusters_default_lsh(spark):
+    """Default pair generator (minhash LSH) groups the exact-dup pair and the
+    near-dup with it; unrelated docs stay singletons."""
+    from goffish_v3_spark.operators.dedup import near_dup_clusters
+
+    out = {
+        r.doc_id: r.canonical_id
+        for r in near_dup_clusters(
+            spark, _docs(spark), jaccard_threshold=0.5
+        ).collect()
+    }
+    assert out[1] == out[2] == out[3] == 1
+    assert out[4] == 4 and out[5] == 5
+
+
+def test_dedup_keep_canonical(spark):
+    from goffish_v3_spark.operators.dedup import dedup_keep_canonical
+
+    kept = {
+        r.doc_id
+        for r in dedup_keep_canonical(
+            spark, _docs(spark), jaccard_threshold=0.5
+        ).collect()
+    }
+    assert kept == {1, 4, 5}
