@@ -570,6 +570,46 @@ LANG_ID_SQL = (
     "FROM best WHERE rn = 1"
 )
 
+# Deterministic hash-sampling twins: thresholds and the bucket mixer come
+# from goffish_v3_spark.operators.sampling so both engines replay the exact
+# same 64-bit integer arithmetic (no floats in any keep/split decision).
+from goffish_v3_spark.operators.sampling import (  # noqa: E402
+    _threshold as _samp_threshold,
+    bucket_sql as _samp_bucket_sql,
+    split_thresholds as _samp_split_thresholds,
+)
+
+_STRAT_RATES = {"en": 0.3, "de": 0.6, "fr": 0.5}
+_STRAT_DEFAULT = 0.1
+_STRAT_SEED = 7
+
+SAMPLE_STRATIFIED_SQL = (
+    "SELECT doc_id, lang, source FROM documents\n"
+    f"WHERE ({_samp_bucket_sql('doc_id', seed=_STRAT_SEED)}) < CASE lang\n"
+    + "".join(
+        f"  WHEN '{lang}' THEN {_samp_threshold(rate)}\n"
+        for lang, rate in _STRAT_RATES.items()
+    )
+    + f"  ELSE {_samp_threshold(_STRAT_DEFAULT)} END"
+)
+
+_SPLIT_SEED = 3
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+def _split_case_sql() -> str:
+    arms = "".join(
+        f"  WHEN ({_samp_bucket_sql('doc_id', seed=_SPLIT_SEED)}) < {thr} THEN '{name}'\n"
+        for name, thr in _samp_split_thresholds(_SPLIT_WEIGHTS)
+    )
+    last = list(_SPLIT_WEIGHTS)[-1]
+    return f"CASE\n{arms}  ELSE '{last}'\nEND"
+
+SPLIT_COUNTS_SQL = f"""
+SELECT split, lang, count(*) AS n_docs FROM (
+  SELECT {_split_case_sql()} AS split, lang FROM documents
+) GROUP BY split, lang
+"""
+
 DEDUP_EXACT_SQL = """
 SELECT sha256(text) AS content_sha, count(*) AS n_docs, min(doc_id) AS first_doc_id
 FROM documents
@@ -1283,6 +1323,33 @@ def _q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     return language_id(docs).select("doc_id", "lang_pred")
 
 
+def _q_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic per-language hash sampling over ``documents`` — pure
+    codegen'd filter (no shuffle, no RNG), exact integer-arithmetic twin in
+    SAMPLE_STRATIFIED_SQL."""
+    from goffish_v3_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return stratified_sample(
+        docs, "lang", _STRAT_RATES, key_col="doc_id",
+        seed=_STRAT_SEED, default_rate=_STRAT_DEFAULT,
+    ).select("doc_id", "lang", "source")
+
+
+def _q_split_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val/test assignment (cumulative hash thresholds)
+    aggregated per (split, lang) — reproducible dataset splits with no
+    shuffle on the assignment itself."""
+    from goffish_v3_spark.operators.sampling import assign_splits
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return (
+        assign_splits(docs, "doc_id", weights=_SPLIT_WEIGHTS, seed=_SPLIT_SEED)
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 def _q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     return docs.groupBy(F.sha2("text", 256).alias("content_sha")).agg(
@@ -1503,6 +1570,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tokens": _q_doc_tokens,
         "doc_quality": _q_doc_quality,
         "lang_id": _q_lang_id,
+        "sample_stratified_det": _q_sample_stratified,
+        "split_counts_det": _q_split_counts,
         "dedup_exact_groups": _q_dedup_exact,
         "dedup_keep_one": _q_dedup_keep_one,
         "top_tokens": _q_top_tokens,
@@ -1552,6 +1621,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_tokens": DOC_TOKENS_SQL,
         "doc_quality": DOC_QUALITY_SQL,
         "lang_id": LANG_ID_SQL,
+        "sample_stratified_det": SAMPLE_STRATIFIED_SQL,
+        "split_counts_det": SPLIT_COUNTS_SQL,
         "dedup_exact_groups": DEDUP_EXACT_SQL,
         "dedup_keep_one": DEDUP_KEEP_ONE_SQL,
         "top_tokens": TOP_TOKENS_SQL,

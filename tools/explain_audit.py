@@ -53,6 +53,8 @@ AUDIT: dict[str, dict] = {
     "lang_id": {"pruned": [("documents", 3)]},
     "doc_fingerprint": {"pruned": [("documents", 3)]},
     "top_tokens": {"pruned": [("documents", 3)]},
+    "sample_stratified_det": {"pruned": [("documents", 3)]},
+    "split_counts_det": {"pruned": [("documents", 2)]},
     "dedup_exact_groups": {"pruned": [("documents", 3)]},
     "dedup_keep_one": {"pruned": [("documents", 4)]},
     # minhash_lsh_pairs is excluded: it localCheckpoints its banded-bucket
