@@ -610,6 +610,19 @@ SELECT split, lang, count(*) AS n_docs FROM (
 ) GROUP BY split, lang
 """
 
+PURCHASE_ASOF_CLICK_SQL = """
+SELECT l.event_id, l.user_id, l.ts, l.value,
+       r.asof_ts, r.asof_event_id, r.asof_value
+FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') l
+LEFT JOIN LATERAL (
+  SELECT ts AS asof_ts, event_id AS asof_event_id, value AS asof_value
+  FROM events r
+  WHERE r.event_type = 'click' AND r.user_id = l.user_id AND r.ts <= l.ts
+  ORDER BY r.ts DESC, r.event_id DESC
+  LIMIT 1
+) r ON TRUE
+"""
+
 DEDUP_EXACT_SQL = """
 SELECT sha256(text) AS content_sha, count(*) AS n_docs, min(doc_id) AS first_doc_id
 FROM documents
@@ -1350,6 +1363,25 @@ def _q_split_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_purchase_asof_click(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent prior
+    click (inclusive, max-event_id tiebreak) — union + ordered-window
+    encoding, ONE shuffle on user_id; oracle is DuckDB LATERAL top-1."""
+    from goffish_v3_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return asof_join(
+        purchases, clicks, ["user_id"],
+        tiebreak="event_id", right_cols=["event_id", "value"],
+    )
+
+
 def _q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     return docs.groupBy(F.sha2("text", 256).alias("content_sha")).agg(
@@ -1572,6 +1604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "sample_stratified_det": _q_sample_stratified,
         "split_counts_det": _q_split_counts,
+        "purchase_asof_click": _q_purchase_asof_click,
         "dedup_exact_groups": _q_dedup_exact,
         "dedup_keep_one": _q_dedup_keep_one,
         "top_tokens": _q_top_tokens,
@@ -1623,6 +1656,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": LANG_ID_SQL,
         "sample_stratified_det": SAMPLE_STRATIFIED_SQL,
         "split_counts_det": SPLIT_COUNTS_SQL,
+        "purchase_asof_click": PURCHASE_ASOF_CLICK_SQL,
         "dedup_exact_groups": DEDUP_EXACT_SQL,
         "dedup_keep_one": DEDUP_KEEP_ONE_SQL,
         "top_tokens": TOP_TOKENS_SQL,

@@ -1,0 +1,126 @@
+"""As-of join: brute-force equivalence (both directions, ties, tolerance,
+no-match nulls), schema shape, and plan shape (one key shuffle, no
+broadcast-nested-loop / cartesian)."""
+
+import datetime as dt
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from goffish_v3_spark.operators.asof import asof_join
+
+BASE = dt.datetime(2024, 1, 1)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    rng = random.Random(7)
+    L = [
+        (i, rng.randint(0, 5), BASE + dt.timedelta(seconds=rng.randint(0, 1000)))
+        for i in range(200)
+    ]
+    R = [
+        (1000 + i, rng.randint(0, 5), BASE + dt.timedelta(seconds=rng.randint(0, 1000)), float(i))
+        for i in range(300)
+    ]
+    # exact-tie timestamps on key 0: inclusive match + max-id tiebreak
+    R += [(2000, 0, L[0][2], 99.0), (2001, 0, L[0][2], 98.0)]
+    # key 6 exists only on the left -> must surface as nulls, not drop rows
+    L += [(9000, 6, BASE)]
+    ldf = spark.createDataFrame(L, "lid long, k long, ts timestamp").persist()
+    rdf = spark.createDataFrame(R, "rid long, k long, ts timestamp, v double").persist()
+    ldf.count(), rdf.count()
+    yield L, R, ldf, rdf
+    ldf.unpersist(), rdf.unpersist()
+
+
+def _brute(L, R, direction, tol_sec=None):
+    out = {}
+    for lid, k, ts in L:
+        cands = [
+            (rts, rid, v)
+            for rid, rk, rts, v in R
+            if rk == k and (rts <= ts if direction == "backward" else rts >= ts)
+        ]
+        if tol_sec is not None:
+            lim = dt.timedelta(seconds=tol_sec)
+            cands = [
+                c for c in cands
+                if (ts - c[0] <= lim if direction == "backward" else c[0] - ts <= lim)
+            ]
+        if not cands:
+            out[lid] = None
+        else:
+            best = max(cands) if direction == "backward" else min(cands)
+            out[lid] = (best[1], best[2])
+    return out
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_matches_brute_force(frames, direction):
+    L, R, ldf, rdf = frames
+    got = {
+        r.lid: (r.asof_rid, r.asof_v) if r.asof_rid is not None else None
+        for r in asof_join(ldf, rdf, ["k"], tiebreak="rid", direction=direction).collect()
+    }
+    assert got == _brute(L, R, direction)
+
+
+def test_tolerance_nulls_distant_matches(frames):
+    L, R, ldf, rdf = frames
+    got = {
+        r.lid: (r.asof_rid, r.asof_v) if r.asof_rid is not None else None
+        for r in asof_join(
+            ldf, rdf, ["k"], tiebreak="rid", tolerance="100 SECONDS"
+        ).collect()
+    }
+    exp = _brute(L, R, "backward", tol_sec=100)
+    assert got == exp
+    assert any(v is None for v in exp.values())  # the case is actually exercised
+
+
+def test_left_rows_preserved_and_schema(frames):
+    _, _, ldf, rdf = frames
+    out = asof_join(ldf, rdf, ["k"], tiebreak="rid", right_cols=["rid"])
+    assert out.columns == ["lid", "k", "ts", "asof_ts", "asof_rid"]
+    assert out.count() == ldf.count()  # left join: every left row survives
+    # the left-only key matched nothing
+    assert out.filter(F.col("lid") == 9000).first().asof_rid is None
+
+
+def test_equal_ts_is_inclusive_with_max_id_tiebreak(frames):
+    L, _, ldf, rdf = frames
+    row = (
+        asof_join(ldf, rdf, ["k"], tiebreak="rid")
+        .filter(F.col("lid") == 0)
+        .first()
+    )
+    # rids 2000/2001 sit exactly at lid 0's timestamp; 2001 wins unless an
+    # even-later eligible click exists — brute force is the arbiter either
+    # way, but the tie rows must at least be eligible (ts equality counts)
+    exp = _brute(L, [r for r in _frames_right(frames)], "backward")[0]
+    assert (row.asof_rid, row.asof_v) == exp
+
+
+def _frames_right(frames):
+    return frames[1]
+
+
+def test_rejects_bad_direction(frames):
+    _, _, ldf, rdf = frames
+    with pytest.raises(ValueError):
+        asof_join(ldf, rdf, ["k"], direction="nearest")
+
+
+def test_plan_one_key_shuffle_no_nested_loop(frames):
+    _, _, ldf, rdf = frames
+    plan = (
+        asof_join(ldf, rdf, ["k"], tiebreak="rid")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the union-window encoding needs no join operator at all
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # one per union leg max

@@ -69,6 +69,7 @@ AUDIT: dict[str, dict] = {
     "ivf_ann_exhaustive_top3": {},
     "embedding_near_dups": {},
     "events_sessionize": {},
+    "purchase_asof_click": {"pruned": [("events", 5)]},
 }
 
 
