@@ -623,6 +623,15 @@ LEFT JOIN LATERAL (
 ) r ON TRUE
 """
 
+CLICKS_IN_SIGNUP_HOUR_SQL = """
+SELECT s.event_id, s.user_id, s.ts,
+       CAST(count(c.event_id) AS BIGINT) AS n_clicks
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') s
+LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+  ON c.user_id = s.user_id AND c.ts >= s.ts AND c.ts <= s.ts + INTERVAL 1 HOUR
+GROUP BY s.event_id, s.user_id, s.ts
+"""
+
 DEDUP_EXACT_SQL = """
 SELECT sha256(text) AS content_sha, count(*) AS n_docs, min(doc_id) AS first_doc_id
 FROM documents
@@ -1382,6 +1391,34 @@ def _q_purchase_asof_click(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_clicks_in_signup_hour(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval join: clicks landing within one hour of each signup (same
+    user), counted per signup — bucketed equi-join (one shuffle per side,
+    no nested-loop plan), zero-count signups preserved. Oracle is the plain
+    BETWEEN inequality join DuckDB can afford at sf0.01."""
+    from goffish_v3_spark.operators.rangejoin import interval_join
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    intervals = signups.withColumn("end_ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    pairs = interval_join(
+        clicks, intervals, "ts", "ts", "end_ts",
+        on=["user_id"], bucket_width_sec=3600,
+    )
+    counts = pairs.groupBy(F.col("i_event_id").alias("event_id")).agg(
+        F.count("*").alias("n_hits")
+    )
+    return signups.join(counts, "event_id", "left").select(
+        "event_id", "user_id", "ts",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_clicks"),
+    )
+
+
 def _q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     return docs.groupBy(F.sha2("text", 256).alias("content_sha")).agg(
@@ -1605,6 +1642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified_det": _q_sample_stratified,
         "split_counts_det": _q_split_counts,
         "purchase_asof_click": _q_purchase_asof_click,
+        "clicks_in_signup_hour": _q_clicks_in_signup_hour,
         "dedup_exact_groups": _q_dedup_exact,
         "dedup_keep_one": _q_dedup_keep_one,
         "top_tokens": _q_top_tokens,
@@ -1657,6 +1695,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_stratified_det": SAMPLE_STRATIFIED_SQL,
         "split_counts_det": SPLIT_COUNTS_SQL,
         "purchase_asof_click": PURCHASE_ASOF_CLICK_SQL,
+        "clicks_in_signup_hour": CLICKS_IN_SIGNUP_HOUR_SQL,
         "dedup_exact_groups": DEDUP_EXACT_SQL,
         "dedup_keep_one": DEDUP_KEEP_ONE_SQL,
         "top_tokens": TOP_TOKENS_SQL,
