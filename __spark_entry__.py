@@ -632,6 +632,18 @@ LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') 
 GROUP BY s.event_id, s.user_id, s.ts
 """
 
+EVENTS_ROLLUP_SQL = """
+SELECT CAST(ts AS DATE) AS day, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY ROLLUP (day, event_type)
+"""
+
+from goffish_v3_spark.operators.sketch import kmv_sql as _kmv_sql  # noqa: E402
+
+DISTINCT_USERS_KMV_SQL = _kmv_sql("events", "user_id", k=64, seed=0)
+
 DEDUP_EXACT_SQL = """
 SELECT sha256(text) AS content_sha, count(*) AS n_docs, min(doc_id) AS first_doc_id
 FROM documents
@@ -1419,6 +1431,32 @@ def _q_clicks_in_signup_hour(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_events_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: (day, type), per-day, and
+    grand-total aggregates in ONE pass (partial aggregation per grouping
+    set, no re-scan per granularity)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return (
+        ev.withColumn("day", F.to_date(F.col("ts")))
+        .rollup("day", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select("day", "event_type", "n_events", "sum_value")
+    )
+
+
+def _q_distinct_users_kmv(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic KMV cardinality sketch over events.user_id — the
+    auditable alternative to HLL: every byte of sketch state replays in
+    the DuckDB oracle."""
+    from goffish_v3_spark.operators.sketch import kmv_distinct_estimate
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return kmv_distinct_estimate(ev, "user_id", k=64, seed=0)
+
+
 def _q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     return docs.groupBy(F.sha2("text", 256).alias("content_sha")).agg(
@@ -1643,6 +1681,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_counts_det": _q_split_counts,
         "purchase_asof_click": _q_purchase_asof_click,
         "clicks_in_signup_hour": _q_clicks_in_signup_hour,
+        "events_rollup_day_type": _q_events_rollup,
+        "distinct_users_kmv": _q_distinct_users_kmv,
         "dedup_exact_groups": _q_dedup_exact,
         "dedup_keep_one": _q_dedup_keep_one,
         "top_tokens": _q_top_tokens,
@@ -1696,6 +1736,8 @@ def oracle_sql() -> dict[str, str]:
         "split_counts_det": SPLIT_COUNTS_SQL,
         "purchase_asof_click": PURCHASE_ASOF_CLICK_SQL,
         "clicks_in_signup_hour": CLICKS_IN_SIGNUP_HOUR_SQL,
+        "events_rollup_day_type": EVENTS_ROLLUP_SQL,
+        "distinct_users_kmv": DISTINCT_USERS_KMV_SQL,
         "dedup_exact_groups": DEDUP_EXACT_SQL,
         "dedup_keep_one": DEDUP_KEEP_ONE_SQL,
         "top_tokens": TOP_TOKENS_SQL,

@@ -71,6 +71,8 @@ AUDIT: dict[str, dict] = {
     "events_sessionize": {},
     "purchase_asof_click": {"pruned": [("events", 5)]},
     "clicks_in_signup_hour": {"pruned": [("events", 4)]},
+    "events_rollup_day_type": {"pruned": [("events", 3)]},
+    "distinct_users_kmv": {"pruned": [("events", 1)]},
 }
 
 
