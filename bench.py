@@ -369,6 +369,43 @@ def main() -> None:
     )
     skew.unpersist()
 
+    # ---- temporal joins at scale: 10M points vs 1M right rows -----------
+    # asof = union + ordered window (one shuffle/key, no range join);
+    # interval = bucketed equi-join (pairs meet exactly once). Both walls
+    # are the operators' own scale evidence — the sf0.1 events table is too
+    # small to exercise the shuffle.
+    from goffish_v3_spark.operators.asof import asof_join
+    from goffish_v3_spark.operators.rangejoin import interval_join
+
+    tj_points = spark.range(0, 10_000_000).select(
+        F.col("id").alias("pid"),
+        (F.col("id") % 100_000).alias("k"),
+        ((F.col("id") * 2654435761) % 1_000_000_000).alias("ts"),
+    )
+    tj_rights = spark.range(0, 1_000_000).select(
+        F.col("id").alias("rid"),
+        (F.col("id") % 100_000).alias("k"),
+        ((F.col("id") * 40503) % 1_000_000_000).alias("ts"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    extra["asof_10m_matched"] = b.run(
+        "asof_join_10m",
+        lambda: asof_join(tj_points, tj_rights, ["k"], tiebreak="rid")
+        .filter(F.col("asof_rid").isNotNull())
+        .count(),
+    )
+    tj_ivals = tj_rights.select(
+        F.col("rid").alias("iid"),
+        "k",
+        ((F.col("rid") * 48271) % 999_000_000).alias("s"),
+    ).withColumn("e", F.col("s") + 500_000)
+    extra["interval_10m_pairs"] = b.run(
+        "interval_join_10m",
+        lambda: interval_join(
+            tj_points, tj_ivals, "ts", "s", "e", on=["k"], bucket_width_sec=1_000_000
+        ).count(),
+    )
+
     # ---- flagship: synthetic repos → ingest → PageRank ------------------
     state: dict[str, object] = {"g_edges": None}
 
