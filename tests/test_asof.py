@@ -113,6 +113,69 @@ def test_rejects_bad_direction(frames):
         asof_join(ldf, rdf, ["k"], direction="nearest")
 
 
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("width", [60, 3600, 500_000])
+def test_sliced_mode_identical_to_plain(frames, direction, width):
+    L, R, ldf, rdf = frames
+    plain = {
+        r.lid: (r.asof_rid, r.asof_v)
+        for r in asof_join(ldf, rdf, ["k"], tiebreak="rid", direction=direction).collect()
+    }
+    sliced = {
+        r.lid: (r.asof_rid, r.asof_v)
+        for r in asof_join(
+            ldf, rdf, ["k"], tiebreak="rid", direction=direction, slice_width=width
+        ).collect()
+    }
+    assert sliced == plain
+
+
+def test_sliced_mode_with_tolerance(frames):
+    _, _, ldf, rdf = frames
+    plain = {
+        r.lid: r.asof_rid
+        for r in asof_join(ldf, rdf, ["k"], tiebreak="rid", tolerance="100 SECONDS").collect()
+    }
+    sliced = {
+        r.lid: r.asof_rid
+        for r in asof_join(
+            ldf, rdf, ["k"], tiebreak="rid", tolerance="100 SECONDS", slice_width=90
+        ).collect()
+    }
+    assert sliced == plain
+
+
+def test_sliced_mode_numeric_axis(spark):
+    L = [(i, i % 3, (i * 37) % 10_000) for i in range(300)]
+    R = [(900 + i, i % 3, (i * 53) % 10_000, float(i)) for i in range(300)]
+    ldf = spark.createDataFrame(L, "lid long, k long, ts long")
+    rdf = spark.createDataFrame(R, "rid long, k long, ts long, v double")
+    plain = {r.lid: r.asof_rid for r in asof_join(ldf, rdf, ["k"], tiebreak="rid").collect()}
+    sliced = {
+        r.lid: r.asof_rid
+        for r in asof_join(ldf, rdf, ["k"], tiebreak="rid", slice_width=1000).collect()
+    }
+    assert sliced == plain
+
+
+def test_sliced_mode_rejects_bad_width(frames):
+    _, _, ldf, rdf = frames
+    with pytest.raises(ValueError):
+        asof_join(ldf, rdf, ["k"], tiebreak="rid", slice_width=0).collect()
+
+
+def test_sliced_window_partitions_by_slice(frames):
+    # the skew claim depends on the pass-A window keying on (k, __slice)
+    import re
+
+    _, _, ldf, rdf = frames
+    plan = (
+        asof_join(ldf, rdf, ["k"], tiebreak="rid", slice_width=3600)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert re.search(r"windowspecdefinition\(k#\d+L?, __slice#\d+L?,", plan)
+
+
 def test_plan_one_key_shuffle_no_nested_loop(frames):
     _, _, ldf, rdf = frames
     plan = (
