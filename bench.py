@@ -52,6 +52,7 @@ CANARY_REF_SEC = {32: 5.7, 8: 5.2}
 WARM_CANARY_REF_SEC = {32: 0.65, 8: 0.35}
 HOST_SPEED_FACTOR = 1.5  # cold threshold
 WARM_SPEED_FACTOR = 2.0  # warm walls are sub-second → noisier, wider gate
+PY_SPEED_FACTOR = 1.6  # python-worker canary gate (see _py_canary_job)
 CANARY_CALIBRATION = {"host": "round-box local[32/8]", "date": "2026-08-18"}
 
 
@@ -77,36 +78,71 @@ def _canary_job(spark) -> float:
     return time.monotonic() - t0
 
 
-class HostGuard:
-    """Per-query host-integrity: warm canaries bracket every timed query."""
+def _py_canary_identity(pdf):
+    return pdf.head(1)
 
-    def __init__(self, spark, warm_ref: float | None):
+
+def _py_canary_job(spark) -> float:
+    """Fixed Python-WORKER canary: a tiny groupBy.applyInPandas round-trip
+    (64 groups, Arrow both ways). The JVM canary is blind to the resource
+    class where grouped-map kernels degrade first — Python process
+    scheduling / Arrow IPC — measured on 2026-08-18: CSR cogroup queries
+    drifted 1.7-2.6× between runs while every JVM canary stayed green.
+    This canary runs on the same Python-worker pool those queries use."""
+    from pyspark.sql import functions as F
+
+    t0 = time.monotonic()
+    df = spark.range(0, 64_000).select(
+        (F.col("id") % 64).alias("k"), (F.col("id") * 7).alias("v")
+    )
+    df.groupBy("k").applyInPandas(_py_canary_identity, schema="k long, v long").count()
+    return time.monotonic() - t0
+
+
+class HostGuard:
+    """Per-query host-integrity: warm canaries bracket every timed query.
+
+    Two canary flavors: the pure-JVM job (absolute reference, calibrated or
+    env-overridden) and the Python-worker job (``py_ref``, self-calibrated
+    at suite start after warmup — relative-to-start is sound here because
+    the absolute COLD canary already gates the start of the run; what this
+    flavor adds is detecting the window degrading DURING the run on the
+    Python-worker axis the JVM canary cannot see)."""
+
+    def __init__(self, spark, warm_ref: float | None, py_ref: float | None = None):
         self.spark = spark
         self.warm_ref = warm_ref
+        self.py_ref = py_ref
         self.last_wall: float | None = None  # most recent warm canary wall
+        self.last_py_wall: float | None = None
         self.last_ok: bool = True
         self.n_canaries = 0
         self.canary_overhead = 0.0
 
-    def checkpoint(self) -> tuple[float, bool]:
-        wall = _canary_job(self.spark)
+    def _probe(self, job, ref: float | None, factor: float) -> tuple[float, bool]:
+        wall = job(self.spark)
         self.n_canaries += 1
         self.canary_overhead += wall
-        threshold = None if self.warm_ref is None else (
-            WARM_SPEED_FACTOR * self.warm_ref
-        )
+        threshold = None if ref is None else factor * ref
         if threshold is not None and wall > threshold:
             # one immediate retry: a GC/cleanup blip right after a heavy
             # query passes the second probe; a genuine throttle window
             # keeps both slow (measured smoke: 0.633 s blip at a 0.6 s
             # threshold right after the triangle join, idle truth 0.38 s)
-            wall2 = _canary_job(self.spark)
+            wall2 = job(self.spark)
             self.n_canaries += 1
             self.canary_overhead += wall2
             wall = min(wall, wall2)
-        ok = threshold is None or wall <= threshold
-        self.last_wall, self.last_ok = round(wall, 3), ok
-        return self.last_wall, ok
+        return wall, threshold is None or wall <= threshold
+
+    def checkpoint(self) -> tuple[float, bool]:
+        wall, jvm_ok = self._probe(_canary_job, self.warm_ref, WARM_SPEED_FACTOR)
+        py_ok = True
+        if self.py_ref is not None:
+            py_wall, py_ok = self._probe(_py_canary_job, self.py_ref, PY_SPEED_FACTOR)
+            self.last_py_wall = round(py_wall, 3)
+        self.last_wall, self.last_ok = round(wall, 3), bool(jvm_ok and py_ok)
+        return self.last_wall, self.last_ok
 
 
 class Bench:
@@ -128,15 +164,18 @@ class Bench:
                 # first query (seed the bracket) or retry after a red window:
                 # re-probe instead of inheriting the stale red reading
                 before_wall, before_ok = self.guard.checkpoint()
+            before_py = getattr(self.guard, "last_py_wall", None)
             t0 = time.monotonic()
             result = fn()
             wall = round(time.monotonic() - t0, 3)
             after_wall, after_ok = self.guard.checkpoint()
+            after_py = getattr(self.guard, "last_py_wall", None)
             runs.append(
                 {
                     "wall": wall,
                     "canary_before": before_wall,
                     "canary_after": after_wall,
+                    "canary_py": [before_py, after_py] if after_py is not None else None,
                     "host_ok": bool(before_ok and after_ok),
                 }
             )
@@ -155,6 +194,7 @@ class Bench:
             "host_ok": bool(clean),
             "runs": runs if (len(runs) > 1 or not clean) else None,
             "canary": [chosen["canary_before"], chosen["canary_after"]],
+            "canary_py": chosen.get("canary_py"),
         }
         return result
 
@@ -235,6 +275,21 @@ def main() -> None:
 
     _warm_kcore(spark, warm, k=2, num_parts=4).count()
     extra["warmup_sec"] = round(time.monotonic() - t_warm, 3)
+
+    # ---- python-worker canary reference: env override or self-calibrated
+    # (one throwaway to spin the worker pool, then min-of-3). Relative-to-
+    # start is sound — the absolute cold canary above gates the run start;
+    # this flavor detects mid-run degradation on the Python-worker axis.
+    py_ref_env, py_src = _env_ref("SPARK_GRAFT_CANARY_REF_PY", None)
+    if py_ref_env is not None:
+        py_ref = py_ref_env
+    else:
+        _py_canary_job(spark)  # throwaway: worker-pool spin-up
+        py_ref = min(_py_canary_job(spark) for _ in range(3))
+        py_src = "self-calibrated at suite start (min-of-3 after warmup)"
+    guard.py_ref = py_ref
+    extra["canary_calibration"]["py_ref_sec"] = round(py_ref, 3)
+    extra["canary_calibration"]["py_ref_source"] = py_src
 
     # ---- link-graph suite on the cs graph -------------------------------
     cs = customer_supplier_edges(spark, SF_DIR).persist()
@@ -394,6 +449,34 @@ def main() -> None:
         .filter(F.col("asof_rid").isNotNull())
         .count(),
     )
+    # hub-skew variant: half the points/rights on ONE key — the plain
+    # window serializes the hub through one task; slice_width bounds
+    # per-task work by rows-per-(key, slice). Ratio from host-clean walls
+    # only (same discipline as hub_salting_speedup).
+    skew_pts = spark.range(0, 10_000_000).select(
+        F.col("id").alias("pid"),
+        F.when(F.col("id") % 2 == 0, 0).otherwise(F.col("id") % 100_000).alias("k"),
+        ((F.col("id") * 2654435761) % 1_000_000_000).alias("ts"),
+    )
+    skew_rts = spark.range(0, 2_000_000).select(
+        F.col("id").alias("rid"),
+        F.when(F.col("id") % 2 == 0, 0).otherwise(F.col("id") % 100_000).alias("k"),
+        ((F.col("id") * 40503) % 1_000_000_000).alias("ts"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+
+    def _asof_skew(**kw) -> int:
+        return (
+            asof_join(skew_pts, skew_rts, ["k"], tiebreak="rid", **kw)
+            .filter(F.col("asof_rid").isNotNull())
+            .count()
+        )
+
+    b.run("asof_join_skew10m_plain", _asof_skew)
+    b.run("asof_join_skew10m_sliced", lambda: _asof_skew(slice_width=10_000_000))
+    pl, sl = b.clean_wall("asof_join_skew10m_plain"), b.clean_wall("asof_join_skew10m_sliced")
+    extra["asof_slicing_speedup"] = round(pl / sl, 3) if pl and sl else None
+
     tj_ivals = tj_rights.select(
         F.col("rid").alias("iid"),
         "k",

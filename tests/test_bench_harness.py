@@ -76,3 +76,46 @@ def test_blip_absorbed_by_min_of_two():
     b.run("q", lambda: None)
     assert b.meta["q"]["host_ok"] is True
     assert b.meta["q"]["runs"] is None
+
+
+def _scripted_jobs(monkeypatch, jvm_walls, py_walls):
+    jvm, py = iter(jvm_walls), iter(py_walls)
+    monkeypatch.setattr(B, "_canary_job", lambda s: next(jvm))
+    monkeypatch.setattr(B, "_py_canary_job", lambda s: next(py))
+
+
+def test_py_canary_flags_python_axis(monkeypatch):
+    # the r5-measured blind spot: JVM canary green, python-worker canary
+    # red (incl. its min-of-2 retry) -> the checkpoint must flag
+    _scripted_jobs(monkeypatch, [0.5] * 4, [9.0, 9.0])
+    g = B.HostGuard(spark=None, warm_ref=1.0, py_ref=0.6)
+    _, ok = g.checkpoint()
+    assert ok is False
+    assert g.last_py_wall == 9.0
+
+
+def test_py_canary_blip_absorbed(monkeypatch):
+    _scripted_jobs(monkeypatch, [0.5] * 4, [9.0, 0.5])  # blip, retry green
+    g = B.HostGuard(spark=None, warm_ref=1.0, py_ref=0.6)
+    _, ok = g.checkpoint()
+    assert ok is True
+    assert g.last_py_wall == 0.5
+
+
+def test_py_canary_off_without_ref(monkeypatch):
+    def boom(s):
+        raise AssertionError("py canary must not run when py_ref is None")
+
+    monkeypatch.setattr(B, "_canary_job", lambda s: 0.5)
+    monkeypatch.setattr(B, "_py_canary_job", boom)
+    g = B.HostGuard(spark=None, warm_ref=1.0)  # no py_ref
+    _, ok = g.checkpoint()
+    assert ok is True and g.last_py_wall is None
+
+
+def test_both_axes_must_be_green(monkeypatch):
+    # jvm red, python green -> still flagged (jvm gate unchanged)
+    _scripted_jobs(monkeypatch, [9.0, 9.0], [0.5])
+    g = B.HostGuard(spark=None, warm_ref=1.0, py_ref=0.6)
+    _, ok = g.checkpoint()
+    assert ok is False
