@@ -1457,6 +1457,26 @@ def _q_distinct_users_kmv(spark: SparkSession, sf: str) -> DataFrame:
     return kmv_distinct_estimate(ev, "user_id", k=64, seed=0)
 
 
+def _q_purchase_asof_click_sliced(spark: SparkSession, sf: str) -> DataFrame:
+    """The skew-resilient sliced mode of the same as-of join — slicing is
+    semantics-preserving, so it hash-checks against the identical LATERAL
+    oracle (1-day slices over the 90-day event range)."""
+    from goffish_v3_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return asof_join(
+        purchases, clicks, ["user_id"],
+        tiebreak="event_id", right_cols=["event_id", "value"],
+        slice_width=86_400,
+    )
+
+
 def _q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     return docs.groupBy(F.sha2("text", 256).alias("content_sha")).agg(
@@ -1680,6 +1700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified_det": _q_sample_stratified,
         "split_counts_det": _q_split_counts,
         "purchase_asof_click": _q_purchase_asof_click,
+        "purchase_asof_click_sliced": _q_purchase_asof_click_sliced,
         "clicks_in_signup_hour": _q_clicks_in_signup_hour,
         "events_rollup_day_type": _q_events_rollup,
         "distinct_users_kmv": _q_distinct_users_kmv,
@@ -1735,6 +1756,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_stratified_det": SAMPLE_STRATIFIED_SQL,
         "split_counts_det": SPLIT_COUNTS_SQL,
         "purchase_asof_click": PURCHASE_ASOF_CLICK_SQL,
+        "purchase_asof_click_sliced": PURCHASE_ASOF_CLICK_SQL,
         "clicks_in_signup_hour": CLICKS_IN_SIGNUP_HOUR_SQL,
         "events_rollup_day_type": EVENTS_ROLLUP_SQL,
         "distinct_users_kmv": DISTINCT_USERS_KMV_SQL,

@@ -70,6 +70,7 @@ AUDIT: dict[str, dict] = {
     "embedding_near_dups": {},
     "events_sessionize": {},
     "purchase_asof_click": {"pruned": [("events", 5)]},
+    "purchase_asof_click_sliced": {"pruned": [("events", 5)]},
     "clicks_in_signup_hour": {"pruned": [("events", 4)]},
     "events_rollup_day_type": {"pruned": [("events", 3)]},
     "distinct_users_kmv": {"pruned": [("events", 1)]},
