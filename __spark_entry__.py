@@ -458,6 +458,64 @@ SELECT vid, count(*) AS triangles FROM (
 ) GROUP BY vid
 """
 
+LCC_COPART_SQL = f"""
+WITH e AS ({COPART_EDGES_SQL}),
+tr AS (
+  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+  FROM e e1 JOIN e e2 ON e1.dst = e2.src JOIN e e3
+    ON e3.src = e1.src AND e3.dst = e2.dst
+),
+t AS (
+  SELECT vid, count(*) AS triangles FROM (
+    SELECT u AS vid FROM tr UNION ALL SELECT v FROM tr UNION ALL SELECT w FROM tr
+  ) GROUP BY vid
+),
+d AS (
+  SELECT vid, count(*) AS deg FROM (
+    SELECT src AS vid FROM e UNION ALL SELECT dst AS vid FROM e
+  ) GROUP BY vid
+)
+SELECT d.vid, d.deg,
+       CASE WHEN d.deg >= 2
+            THEN CAST(2 AS DOUBLE) * coalesce(t.triangles, 0)
+                 / (d.deg * (d.deg - 1))
+            ELSE CAST(0 AS DOUBLE) END AS lcc
+FROM d LEFT JOIN t USING (vid)
+"""
+
+# Exact BIGINT moment sums, double math only in the closing expression —
+# the same determinism discipline as the polynomial det-twins, so the hash
+# compare is exact (no float-accumulation-order dependence on either side).
+ASSORT_COPART_SQL = f"""
+WITH e AS ({COPART_EDGES_SQL}),
+d AS (
+  SELECT x, count(*) AS deg FROM (
+    SELECT src AS x FROM e UNION ALL SELECT dst AS x FROM e
+  ) GROUP BY x
+),
+m AS (
+  SELECT src AS u, dst AS v FROM e
+  UNION ALL SELECT dst AS u, src AS v FROM e
+),
+j AS (
+  SELECT du.deg AS ds, dv.deg AS dt
+  FROM m JOIN d du ON m.u = du.x JOIN d dv ON m.v = dv.x
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(ds) AS BIGINT) AS sx, CAST(sum(dt) AS BIGINT) AS sy,
+         CAST(sum(ds * ds) AS BIGINT) AS sxx,
+         CAST(sum(dt * dt) AS BIGINT) AS syy,
+         CAST(sum(ds * dt) AS BIGINT) AS sxy
+  FROM j
+)
+SELECT n AS n_directed_edges,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+       / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+          * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS assortativity
+FROM s
+"""
+
 # Deterministic Zipf-skewed fixture (sources/synthetic.generate_skewed_edges
 # at n_edges=100k, n_vertices=10k, seed=11), regenerated in pure SQL: src is
 # Zipf via inverse CDF rank = floor((n+1)^u) - 1 with the heavy rank-0 vertex
@@ -1009,6 +1067,22 @@ def _q_tc_vertex_copart(spark: SparkSession, sf: str) -> DataFrame:
     from goffish_v3_spark.operators.triangles import triangles_per_vertex
 
     return triangles_per_vertex(copart_edges(spark, sf))
+
+
+def _q_lcc_copart(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-vertex local clustering coefficient: exact integer triangle count
+    and degree, one IEEE-deterministic double division — hash-checked."""
+    from goffish_v3_spark.operators.triangles import local_clustering_coefficient
+
+    return local_clustering_coefficient(copart_edges(spark, sf))
+
+
+def _q_assortativity_copart(spark: SparkSession, sf: str) -> DataFrame:
+    """Newman degree assortativity from exact BIGINT moment sums with a
+    single closing double expression (det-twin discipline)."""
+    from goffish_v3_spark.operators.stats import degree_assortativity
+
+    return degree_assortativity(copart_edges(spark, sf))
 
 
 def _q_tc_skew(spark: SparkSession, sf: str) -> DataFrame:
@@ -1683,6 +1757,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_per_vertex_copart": _q_tc_vertex_copart,
         "triangle_count_skew": _q_tc_skew,
         "wedge_stats_skew": _q_wedge_stats_skew,
+        "clustering_coeff_copart": _q_lcc_copart,
+        "assortativity_copart": _q_assortativity_copart,
         "degree_histogram_cs": _q_degree_hist_cs,
         "graph_stats_cs": _q_graph_stats_cs,
         "kcore3_copart": _q_kcore_copart,
@@ -1739,6 +1815,8 @@ def oracle_sql() -> dict[str, str]:
         "triangles_per_vertex_copart": TC_VERTEX_SQL,
         "triangle_count_skew": TC_SKEW_SQL,
         "wedge_stats_skew": WEDGE_STATS_SKEW_SQL,
+        "clustering_coeff_copart": LCC_COPART_SQL,
+        "assortativity_copart": ASSORT_COPART_SQL,
         "degree_histogram_cs": DEGREE_HIST_SQL,
         "graph_stats_cs": GRAPH_STATS_SQL,
         "kcore3_copart": _kcore3_sql(),

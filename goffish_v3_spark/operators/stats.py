@@ -70,6 +70,57 @@ def graph_stats(spark: SparkSession, edges: DataFrame, num_parts: int = 32) -> d
     }
 
 
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Newman degree assortativity over the undirected deduped edge set:
+    the Pearson correlation of endpoint degrees across the mirrored
+    (both-directions) edge list. One row
+    ``(n_directed_edges long, assortativity double)``.
+
+    Computed from exact BIGINT moment sums (n, Σx, Σy, Σx², Σy², Σxy) with a
+    single closing double expression
+    ``(n·Σxy − Σx·Σy) / (√(n·Σx² − Σx²_sum) · √(n·Σy² − Σy²_sum))`` —
+    never a float accumulation — so the value is IEEE-deterministic and the
+    DuckDB oracle matches bit-for-bit (the same det-twin discipline as the
+    polynomial fingerprints). A k-regular graph has zero variance — the
+    statistic is undefined and ``try_divide`` yields NULL (ANSI mode would
+    otherwise raise on the zero divisor). Degrees are bounded by
+    max-degree so the long sums hold to ~10⁹ edges at web-graph degree
+    distributions; beyond that, decompose the sum per partition first.
+
+    Complements GraphStats.java:61-237's degree extrema with the standard
+    second-order mixing statistic over the same degree view.
+    """
+    o = edges.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).filter(F.col("u") != F.col("v")).distinct()
+    deg = (
+        o.select(F.col("u").alias("x"))
+        .unionAll(o.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").alias("deg"))
+    )
+    mirrored = o.unionAll(o.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    j = mirrored.join(
+        deg.select(F.col("x").alias("u"), F.col("deg").alias("ds")), "u"
+    ).join(deg.select(F.col("x").alias("v"), F.col("deg").alias("dt")), "v")
+    s = j.agg(
+        F.count("*").alias("n"),
+        F.sum("ds").alias("sx"),
+        F.sum("dt").alias("sy"),
+        F.sum(F.col("ds") * F.col("ds")).alias("sxx"),
+        F.sum(F.col("dt") * F.col("dt")).alias("syy"),
+        F.sum(F.col("ds") * F.col("dt")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return s.select(
+        F.col("n").alias("n_directed_edges"),
+        F.try_divide(num, den).alias("assortativity"),
+    )
+
+
 def meta_graph(edges: DataFrame, num_parts: int, part_expr=None) -> DataFrame:
     """MetaGraph.java:30 — distinct (src_part, dst_part) pairs: the
     communication topology between partitions (reference: between

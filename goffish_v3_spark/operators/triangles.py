@@ -232,3 +232,35 @@ def triangles_per_vertex(edges: DataFrame, orientation: str = "auto") -> DataFra
         .unionAll(t.select(F.col("w").alias("vid")))
     )
     return corners.groupBy("vid").agg(F.count("*").alias("triangles"))
+
+
+def local_clustering_coefficient(
+    edges: DataFrame, orientation: str = "auto"
+) -> DataFrame:
+    """``(vid long, deg long, lcc double)`` — per-vertex local clustering
+    coefficient ``2·tri(v) / (deg(v)·(deg(v)−1))`` over the undirected
+    deduped edge set (deg < 2 ⇒ 0.0). The natural per-vertex companion to
+    the reference's global TriangleCount aggregate
+    (sample-hama TriangleCount.java:252): same triangle enumeration, joined
+    back to undirected degree.
+
+    Determinism note: both factors are exact integers (triangle count,
+    degree); the single double division is IEEE-deterministic, so the DuckDB
+    oracle reproduces the value bit-for-bit — no float-accumulation order
+    dependence anywhere.
+    """
+    o = oriented_edges(edges)
+    deg = (
+        o.select(F.col("u").alias("vid"))
+        .unionAll(o.select(F.col("v").alias("vid")))
+        .groupBy("vid")
+        .agg(F.count("*").alias("deg"))
+    )
+    tri = triangles_per_vertex(edges, orientation=orientation)
+    lcc = F.when(
+        F.col("deg") >= 2,
+        2.0
+        * F.coalesce(F.col("triangles"), F.lit(0))
+        / (F.col("deg") * (F.col("deg") - 1)),
+    ).otherwise(F.lit(0.0))
+    return deg.join(tri, "vid", "left").select("vid", "deg", lcc.alias("lcc"))

@@ -71,3 +71,42 @@ def test_meta_diameter_two_components(spark):
     row = meta_diameter(spark, df, num_parts=4, part_expr=part).collect()[0]
     assert row.n_meta_nodes == 4
     assert row.diameter == 1
+
+
+def test_degree_assortativity_pendant_triangle(spark):
+    """Triangle {1,2,3} + pendant 3-4: exact moments give r = -20/28."""
+    from goffish_v3_spark.operators.stats import degree_assortativity
+
+    df = spark.createDataFrame(
+        [(1, 2, 1.0), (1, 3, 1.0), (2, 3, 1.0), (3, 4, 1.0)],
+        "src long, dst long, w double",
+    )
+    row = degree_assortativity(df).collect()[0]
+    assert row.n_directed_edges == 8
+    assert abs(row.assortativity - (-20 / 28)) < 1e-12
+
+
+def test_degree_assortativity_star_is_minus_one(spark):
+    """A star is perfectly disassortative: r = -1."""
+    from goffish_v3_spark.operators.stats import degree_assortativity
+
+    df = spark.createDataFrame(
+        [(0, i, 1.0) for i in range(1, 6)], "src long, dst long, w double"
+    )
+    row = degree_assortativity(df).collect()[0]
+    assert abs(row.assortativity - (-1.0)) < 1e-12
+
+
+def test_degree_assortativity_regular_graph_degenerate(spark):
+    """Zero degree variance (4-cycle): the statistic is undefined —
+    null/NaN, never a crash."""
+    import math
+
+    from goffish_v3_spark.operators.stats import degree_assortativity
+
+    df = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0), (3, 0, 1.0)],
+        "src long, dst long, w double",
+    )
+    v = degree_assortativity(df).collect()[0].assortativity
+    assert v is None or math.isnan(v)

@@ -127,3 +127,25 @@ def test_orientation_validation(spark):
     df = graphs.to_df(spark, graphs.clique(5))
     with pytest.raises(ValueError, match="orientation"):
         triangles(df, orientation="nope")
+
+
+def test_local_clustering_coefficient(spark):
+    """Triangle {1,2,3} + pendant 3-4: closed-form lcc per vertex."""
+    from goffish_v3_spark.operators.triangles import local_clustering_coefficient
+
+    df = graphs.to_df(spark, [(1, 2), (1, 3), (2, 3), (3, 4)])
+    got = {
+        r.vid: (r.deg, r.lcc)
+        for r in local_clustering_coefficient(df).collect()
+    }
+    assert got == {1: (2, 1.0), 2: (2, 1.0), 3: (3, 1 / 3), 4: (1, 0.0)}
+
+
+def test_lcc_clique_all_one(spark):
+    from goffish_v3_spark.operators.triangles import local_clustering_coefficient
+
+    rows = local_clustering_coefficient(
+        graphs.to_df(spark, graphs.clique(6))
+    ).collect()
+    assert len(rows) == 6
+    assert all(r.deg == 5 and r.lcc == 1.0 for r in rows)

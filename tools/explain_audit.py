@@ -44,6 +44,8 @@ AUDIT: dict[str, dict] = {
     "triangles_per_vertex_copart": {},
     "triangle_count_skew": {},
     "wedge_stats_skew": {},
+    "clustering_coeff_copart": {},
+    "assortativity_copart": {},
     "degree_histogram_cs": {},
     "graph_stats_cs": {},
     "vertex_count_cs": {},
