@@ -575,6 +575,32 @@ SELECT
   (SELECT max(c) FROM (SELECT count(*) AS c FROM e GROUP BY dst)) AS max_in_degree
 """
 
+# k-th-order statistics with k in exact integer arithmetic on both sides
+# ((pct*(n-1)) // 100 + 1, 1-based k-th smallest) — every column integral,
+# so the hash compare is exact. The window runs over the value HISTOGRAM
+# (|distinct lengths| rows), mirroring the Spark plan's scale shape.
+DOC_LEN_PCTL_SQL = """
+WITH n AS (SELECT count(*) AS n FROM documents),
+ks AS (
+  SELECT CAST(p AS BIGINT) AS pct,
+         (CAST(p AS BIGINT) * (n.n - 1)) // 100 + 1 AS k
+  FROM (VALUES (1), (25), (50), (75), (90), (99)) v(p), n
+),
+h AS (
+  SELECT CAST(length(text) AS BIGINT) AS val, count(*) AS c
+  FROM documents GROUP BY 1
+),
+cum AS (
+  SELECT val,
+         sum(c) OVER (ORDER BY val
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM h
+)
+SELECT ks.pct, ks.k, min(cum.val) AS value
+FROM ks JOIN cum ON cum.cum >= ks.k
+GROUP BY ks.pct, ks.k
+"""
+
 DOC_TOKENS_SQL = r"""
 SELECT doc_id,
        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
@@ -1404,6 +1430,18 @@ def _q_repo_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_doc_len_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact document-length order statistics from the value histogram —
+    no global row_number sort (single-partition at scale); integer-exact k
+    so the oracle hash-matches with no interpolation semantics to align."""
+    from goffish_v3_spark.operators.quantiles import exact_quantiles
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return exact_quantiles(
+        docs, F.length("text").cast("long"), [1, 25, 50, 75, 90, 99]
+    )
+
+
 def _q_doc_tokens(spark: SparkSession, sf: str) -> DataFrame:
     from goffish_v3_spark.operators.text import token_count
 
@@ -1770,6 +1808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subgraph_pagerank_cs": _q_subgraph_pagerank_cs,
         "kmeans_partition_cs": _q_kmeans_partition_cs,
         "repo_pagerank_top20": _q_repo_pagerank,
+        "doc_len_percentiles": _q_doc_len_percentiles,
         "doc_tokens": _q_doc_tokens,
         "doc_quality": _q_doc_quality,
         "lang_id": _q_lang_id,
@@ -1828,6 +1867,7 @@ def oracle_sql() -> dict[str, str]:
         "meta_diameter_cs": META_DIAMETER_SQL,
         "subgraph_pagerank_cs": _pagerank_sql(),
         "repo_pagerank_top20": _repo_pagerank_sql(),
+        "doc_len_percentiles": DOC_LEN_PCTL_SQL,
         "doc_tokens": DOC_TOKENS_SQL,
         "doc_quality": DOC_QUALITY_SQL,
         "lang_id": LANG_ID_SQL,

@@ -50,6 +50,7 @@ AUDIT: dict[str, dict] = {
     "graph_stats_cs": {},
     "vertex_count_cs": {},
     "meta_graph_cs": {},
+    "doc_len_percentiles": {"pruned": [("documents", 1)]},
     "doc_tokens": {"pruned": [("documents", 3)]},
     "doc_quality": {"pruned": [("documents", 3)]},
     "lang_id": {"pruned": [("documents", 3)]},
