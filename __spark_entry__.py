@@ -654,6 +654,27 @@ LANG_ID_SQL = (
     "FROM best WHERE rn = 1"
 )
 
+# Group-wise top-k over the two deterministic per-doc signals. LANG_ID_SQL
+# and DOC_QUALITY_SQL each start with their own WITH — DuckDB scoping breaks
+# when a WITH is nested directly inside a CTE body, so both are wrapped as
+# derived tables (SELECT * FROM (...) _x).
+TOP_DOCS_PER_LANG_SQL = f"""
+WITH l AS (SELECT * FROM ({LANG_ID_SQL}) _l),
+q AS (SELECT * FROM ({DOC_QUALITY_SQL}) _q),
+j AS (
+  SELECT l.doc_id, l.lang_pred, q.quality_score
+  FROM l JOIN q ON l.doc_id = q.doc_id
+),
+r AS (
+  SELECT lang_pred, doc_id, quality_score,
+         CAST(row_number() OVER (
+           PARTITION BY lang_pred
+           ORDER BY quality_score DESC, doc_id ASC) AS BIGINT) AS rn
+  FROM j
+)
+SELECT lang_pred, doc_id, quality_score, rn FROM r WHERE rn <= 3
+"""
+
 # Deterministic hash-sampling twins: thresholds and the bucket mixer come
 # from goffish_v3_spark.operators.sampling so both engines replay the exact
 # same 64-bit integer arithmetic (no floats in any keep/split decision).
@@ -1469,6 +1490,24 @@ def _q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     return language_id(docs).select("doc_id", "lang_pred")
 
 
+def _q_top_docs_per_lang(spark: SparkSession, sf: str) -> DataFrame:
+    """Best-3 documents per predicted language by quality score — the
+    group-partitioned window (per-group top-k state, no global sort),
+    tie-broken by doc_id for a total order."""
+    from goffish_v3_spark.operators.text import language_id, quality_features
+    from goffish_v3_spark.operators.topk import top_k_per_group
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    l = language_id(docs).select("doc_id", "lang_pred")
+    q = quality_features(docs).select("doc_id", "quality_score")
+    return top_k_per_group(
+        l.join(q, "doc_id"),
+        group_cols=["lang_pred"],
+        order_cols=[F.col("quality_score").desc(), F.col("doc_id").asc()],
+        k=3,
+    ).select("lang_pred", "doc_id", "quality_score", "rn")
+
+
 def _q_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic per-language hash sampling over ``documents`` — pure
     codegen'd filter (no shuffle, no RNG), exact integer-arithmetic twin in
@@ -1812,6 +1851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tokens": _q_doc_tokens,
         "doc_quality": _q_doc_quality,
         "lang_id": _q_lang_id,
+        "top_docs_per_lang": _q_top_docs_per_lang,
         "sample_stratified_det": _q_sample_stratified,
         "split_counts_det": _q_split_counts,
         "purchase_asof_click": _q_purchase_asof_click,
@@ -1871,6 +1911,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_tokens": DOC_TOKENS_SQL,
         "doc_quality": DOC_QUALITY_SQL,
         "lang_id": LANG_ID_SQL,
+        "top_docs_per_lang": TOP_DOCS_PER_LANG_SQL,
         "sample_stratified_det": SAMPLE_STRATIFIED_SQL,
         "split_counts_det": SPLIT_COUNTS_SQL,
         "purchase_asof_click": PURCHASE_ASOF_CLICK_SQL,

@@ -51,6 +51,7 @@ AUDIT: dict[str, dict] = {
     "vertex_count_cs": {},
     "meta_graph_cs": {},
     "doc_len_percentiles": {"pruned": [("documents", 1)]},
+    "top_docs_per_lang": {"pruned": [("documents", 2)]},
     "doc_tokens": {"pruned": [("documents", 3)]},
     "doc_quality": {"pruned": [("documents", 3)]},
     "lang_id": {"pruned": [("documents", 3)]},
