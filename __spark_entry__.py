@@ -483,6 +483,34 @@ SELECT d.vid, d.deg,
 FROM d LEFT JOIN t USING (vid)
 """
 
+# Common neighbors of an existing edge = triangles through it; Jaccard =
+# cn / (deg(u) + deg(v) - cn) (networkx convention, denominator >= 2).
+EDGE_JACCARD_SQL = f"""
+WITH e AS ({COPART_EDGES_SQL}),
+tr AS (
+  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+  FROM e e1 JOIN e e2 ON e1.dst = e2.src JOIN e e3
+    ON e3.src = e1.src AND e3.dst = e2.dst
+),
+te AS (
+  SELECT u AS a, v AS b FROM tr
+  UNION ALL SELECT u, w FROM tr
+  UNION ALL SELECT v, w FROM tr
+),
+cn AS (SELECT a, b, count(*) AS cn FROM te GROUP BY a, b),
+d AS (
+  SELECT vid, count(*) AS deg FROM (
+    SELECT src AS vid FROM e UNION ALL SELECT dst AS vid FROM e
+  ) GROUP BY vid
+)
+SELECT e.src AS u, e.dst AS v,
+       CAST(coalesce(cn.cn, 0) AS BIGINT) AS cn,
+       CAST(coalesce(cn.cn, 0) AS DOUBLE)
+       / (du.deg + dv.deg - coalesce(cn.cn, 0)) AS jaccard
+FROM e LEFT JOIN cn ON e.src = cn.a AND e.dst = cn.b
+JOIN d du ON e.src = du.vid JOIN d dv ON e.dst = dv.vid
+"""
+
 # Exact BIGINT moment sums, double math only in the closing expression —
 # the same determinism discipline as the polynomial det-twins, so the hash
 # compare is exact (no float-accumulation-order dependence on either side).
@@ -1130,6 +1158,14 @@ def _q_assortativity_copart(spark: SparkSession, sf: str) -> DataFrame:
     from goffish_v3_spark.operators.stats import degree_assortativity
 
     return degree_assortativity(copart_edges(spark, sf))
+
+
+def _q_edge_jaccard_copart(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-edge common neighbors + neighborhood Jaccard (link-prediction
+    primitive) over the hub-guarded triangle enumeration."""
+    from goffish_v3_spark.operators.triangles import edge_jaccard
+
+    return edge_jaccard(copart_edges(spark, sf))
 
 
 def _q_tc_skew(spark: SparkSession, sf: str) -> DataFrame:
@@ -1836,6 +1872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wedge_stats_skew": _q_wedge_stats_skew,
         "clustering_coeff_copart": _q_lcc_copart,
         "assortativity_copart": _q_assortativity_copart,
+        "edge_jaccard_copart": _q_edge_jaccard_copart,
         "degree_histogram_cs": _q_degree_hist_cs,
         "graph_stats_cs": _q_graph_stats_cs,
         "kcore3_copart": _q_kcore_copart,
@@ -1896,6 +1933,7 @@ def oracle_sql() -> dict[str, str]:
         "wedge_stats_skew": WEDGE_STATS_SKEW_SQL,
         "clustering_coeff_copart": LCC_COPART_SQL,
         "assortativity_copart": ASSORT_COPART_SQL,
+        "edge_jaccard_copart": EDGE_JACCARD_SQL,
         "degree_histogram_cs": DEGREE_HIST_SQL,
         "graph_stats_cs": GRAPH_STATS_SQL,
         "kcore3_copart": _kcore3_sql(),

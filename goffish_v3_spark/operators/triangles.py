@@ -234,6 +234,53 @@ def triangles_per_vertex(edges: DataFrame, orientation: str = "auto") -> DataFra
     return corners.groupBy("vid").agg(F.count("*").alias("triangles"))
 
 
+def edge_jaccard(edges: DataFrame, orientation: str = "auto") -> DataFrame:
+    """``(u long, v long, cn long, jaccard double)`` per undirected edge:
+    common-neighbor count and neighborhood Jaccard — the link-prediction /
+    graph-dedup primitive. Convention matches networkx
+    ``jaccard_coefficient`` restricted to existing edges: open
+    neighborhoods, so for an edge the union contains both endpoints and
+    ``jaccard = cn / (deg(u) + deg(v) − cn)`` (denominator ≥ 2 always —
+    never a zero divisor).
+
+    The common-neighbor count of an edge IS its triangle count, so this
+    rides the same hub-guarded enumeration as `triangles` (auto orientation
+    keeps the wedge join sub-quadratic on skewed graphs) instead of the
+    naive N(u)⋈N(v) neighborhood self-join, whose intermediate is Σ deg²
+    with no orientation defense. cn and both degrees are exact integers;
+    the single double division is IEEE-deterministic (oracle-hash-exact).
+    """
+    o = oriented_edges(edges)
+    deg = (
+        o.select(F.col("u").alias("x"))
+        .unionAll(o.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").alias("deg"))
+    )
+    t = triangles(edges, orientation=orientation)
+    tri_edges = (
+        t.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .unionAll(t.select(F.col("u").alias("a"), F.col("w").alias("b")))
+        .unionAll(t.select(F.col("v").alias("a"), F.col("w").alias("b")))
+    )
+    cn = tri_edges.groupBy("a", "b").agg(F.count("*").alias("cn"))
+    j = (
+        o.join(cn, (F.col("u") == F.col("a")) & (F.col("v") == F.col("b")), "left")
+        .select("u", "v", F.coalesce(F.col("cn"), F.lit(0)).alias("cn"))
+        .join(deg.select(F.col("x").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("x").alias("v"), F.col("deg").alias("dv")), "v")
+    )
+    return j.select(
+        "u",
+        "v",
+        "cn",
+        (
+            F.col("cn").cast("double")
+            / (F.col("du") + F.col("dv") - F.col("cn"))
+        ).alias("jaccard"),
+    )
+
+
 def local_clustering_coefficient(
     edges: DataFrame, orientation: str = "auto"
 ) -> DataFrame:

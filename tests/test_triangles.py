@@ -149,3 +149,22 @@ def test_lcc_clique_all_one(spark):
     ).collect()
     assert len(rows) == 6
     assert all(r.deg == 5 and r.lcc == 1.0 for r in rows)
+
+
+def test_edge_jaccard_closed_forms(spark):
+    """Clique(4): every edge has cn=2, jaccard=2/(3+3-2)=0.5.
+    Pendant-triangle: per-edge closed forms incl. a zero-cn edge."""
+    from goffish_v3_spark.operators.triangles import edge_jaccard
+
+    k4 = edge_jaccard(graphs.to_df(spark, graphs.clique(4))).collect()
+    assert len(k4) == 6
+    assert all(r.cn == 2 and r.jaccard == 0.5 for r in k4)
+
+    pend = graphs.to_df(spark, [(1, 2), (1, 3), (2, 3), (3, 4)])
+    got = {(r.u, r.v): (r.cn, r.jaccard) for r in edge_jaccard(pend).collect()}
+    assert got == {
+        (1, 2): (1, 1 / 3),
+        (1, 3): (1, 0.25),
+        (2, 3): (1, 0.25),
+        (3, 4): (0, 0.0),
+    }

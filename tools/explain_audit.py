@@ -46,6 +46,7 @@ AUDIT: dict[str, dict] = {
     "wedge_stats_skew": {},
     "clustering_coeff_copart": {},
     "assortativity_copart": {},
+    "edge_jaccard_copart": {},
     "degree_histogram_cs": {},
     "graph_stats_cs": {},
     "vertex_count_cs": {},
