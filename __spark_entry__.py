@@ -59,6 +59,36 @@ def _pagerank_sql(iters: int = PR_ITERS) -> str:
     )
 
 
+def _ppr_sql(iters: int = PR_ITERS) -> str:
+    """Personalized PageRank unrolled: teleport mass concentrated on the
+    min-src vertex (same source convention as the SSSP queries), walk
+    initialized there."""
+    ctes = [
+        f"e AS ({CS_EDGES_SQL})",
+        "verts AS (SELECT src AS vid FROM e UNION SELECT dst FROM e)",
+        "sv AS (SELECT min(src) AS sv FROM e)",
+        "deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY src)",
+        "pr0 AS (SELECT vid, CASE WHEN vid = (SELECT sv FROM sv) "
+        "THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS rank FROM verts)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""pr{i} AS (
+  SELECT v.vid, 0.85 * coalesce(s.s, 0.0)
+         + CASE WHEN v.vid = (SELECT sv FROM sv)
+                THEN 0.15 ELSE CAST(0 AS DOUBLE) END AS rank
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS vid, sum(p.rank/d.deg) AS s
+    FROM pr{i-1} p JOIN e ON p.vid = e.src JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) s ON v.vid = s.vid
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT vid, round(rank, 8) AS rank FROM pr{iters}"
+    )
+
+
 def _lpa_sql(iters: int = LPA_ITERS) -> str:
     ctes = [
         f"e AS ({CS_EDGES_SQL})",
@@ -1097,6 +1127,17 @@ def _q_pagerank_cs(spark: SparkSession, sf: str) -> DataFrame:
     return pr.select("vid", F.round("rank", 8).alias("rank"))
 
 
+def _q_ppr_cs(spark: SparkSession, sf: str) -> DataFrame:
+    """Personalized PageRank from the min-src vertex — same superstep plan
+    as pagerank_cs, teleport term as a per-vertex expression."""
+    from goffish_v3_spark.operators.pagerank import pagerank
+
+    e = customer_supplier_edges(spark, sf)
+    source = e.agg(F.min("src")).collect()[0][0]
+    pr = pagerank(spark, e, fixed_iterations=PR_ITERS, teleport_vid=source)
+    return pr.select("vid", F.round("rank", 8).alias("rank"))
+
+
 def _q_wcc_cs(spark: SparkSession, sf: str) -> DataFrame:
     from goffish_v3_spark.operators.wcc import wcc
 
@@ -1861,6 +1902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "edges_cs": _q_edges_cs,
         "pagerank_cs": _q_pagerank_cs,
+        "ppr_cs": _q_ppr_cs,
         "wcc_cs": _q_wcc_cs,
         "lpa_cs": _q_lpa_cs,
         "sssp_cs": _q_sssp_cs,
@@ -1922,6 +1964,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "edges_cs": CS_EDGES_SQL,
         "pagerank_cs": _pagerank_sql(),
+        "ppr_cs": _ppr_sql(),
         "wcc_cs": WCC_SQL,
         "lpa_cs": _lpa_sql(),
         "sssp_cs": SSSP_SQL,

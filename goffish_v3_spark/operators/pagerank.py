@@ -50,8 +50,17 @@ def pagerank_with_info(
     num_salts: int = 32,
     dense_ids: bool = False,
     partition_metrics: bool = False,
+    teleport_vid: int | None = None,
 ) -> tuple[DataFrame, RunInfo]:
     """Run PageRank; return (scores ``(vid, rank)``, RunInfo).
+
+    ``teleport_vid`` switches to personalized PageRank: all teleport mass
+    (the ``1−α`` term) lands on that single vertex instead of spreading
+    uniformly, and the walk starts there (init = indicator). Same superstep
+    plan — the only change is the teleport term becoming a per-vertex
+    expression — so every scale property (one-exchange setup, chaining,
+    salting) carries over. Incompatible with ``dense_ids`` (the remap would
+    silently re-address the teleport target; raises).
 
     ``fixed_iterations`` disables the ε-gate and runs exactly that many rank
     updates (used by SQL-oracle comparisons, which unroll a fixed count).
@@ -88,6 +97,11 @@ def pagerank_with_info(
     """
     if dense_ids and resume:
         raise ValueError("dense_ids remap is per-run; resume needs stable vids")
+    if dense_ids and teleport_vid is not None:
+        raise ValueError(
+            "teleport_vid addresses original vertex ids; dense_ids would "
+            "silently remap it — use one or the other"
+        )
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     # ONE edge-table exchange for the whole setup: hash-partition by src
     # once, then dedup on (src,dst), the out-degree groupBy("src") and the
@@ -289,9 +303,18 @@ def pagerank_with_info(
         adj_s.count()
 
     # sever the (possibly expensive) upstream plan from the iterative loop
-    init = init_src.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    if teleport_vid is None:
+        init_rank = F.lit(1.0 / n)
+        base = F.lit((1.0 - alpha) / n)
+    else:
+        init_rank = F.when(
+            F.col("vid") == teleport_vid, F.lit(1.0)
+        ).otherwise(F.lit(0.0))
+        base = F.when(
+            F.col("vid") == teleport_vid, F.lit(1.0 - alpha)
+        ).otherwise(F.lit(0.0))
+    init = init_src.withColumn("rank", init_rank).localCheckpoint(eager=True)
     e.unpersist()
-    base = (1.0 - alpha) / n
 
     def step(state: DataFrame, i: int) -> StepResult:
         if adj_s is None:

@@ -113,3 +113,45 @@ def test_dense_ids_rejects_resume(spark, tmp_path):
         pagerank_with_info(
             spark, df, dense_ids=True, resume=True, checkpoint_dir=str(tmp_path)
         )
+
+
+def test_personalized_pagerank_matches_python(spark):
+    """PPR with teleport_vid: all (1-alpha) mass on the source; fixed
+    iterations match a dense python unroll exactly (same update rule)."""
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 0), (0, 2)]
+    df = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in edges], "src long, dst long, w double"
+    )
+    src = 0
+    got = {
+        r.vid: r.rank
+        for r in pagerank(
+            spark, df, fixed_iterations=8, teleport_vid=src
+        ).collect()
+    }
+    # python reference (same dangling-mass-drop convention)
+    out = {}
+    for a, b in edges:
+        out.setdefault(a, []).append(b)
+    verts = sorted({v for e in edges for v in e})
+    rank = {v: (1.0 if v == src else 0.0) for v in verts}
+    for _ in range(8):
+        contrib = {v: 0.0 for v in verts}
+        for a, targets in out.items():
+            for b in targets:
+                contrib[b] += rank[a] / len(targets)
+        rank = {
+            v: 0.85 * contrib[v] + ((1.0 - 0.85) if v == src else 0.0)
+            for v in verts
+        }
+    assert got.keys() == rank.keys()
+    for v in verts:
+        assert abs(got[v] - rank[v]) < 1e-9
+    # teleport concentrates mass near the source vs uniform pagerank
+    assert got[src] > got[3]
+
+
+def test_ppr_rejects_dense_ids(spark):
+    df = spark.createDataFrame([(0, 1, 1.0)], "src long, dst long, w double")
+    with pytest.raises(ValueError, match="teleport_vid"):
+        pagerank(spark, df, teleport_vid=0, dense_ids=True)
