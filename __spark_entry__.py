@@ -408,11 +408,15 @@ FROM inter WHERE round(i / greatest(sa + sb - i, 1), 6) >= 0.5
 """
 
 
-def _repo_pagerank_sql(iters: int = PR_ITERS) -> str:
+def _repo_pagerank_sql(iters: int = PR_ITERS, personalized: bool = False) -> str:
     """String-keyed replay of the full flagship pipeline on the committed
     repos artifact: regexp reference extraction per language + #dep lines →
     resolution against the file dimension → distinct directed edges →
-    unrolled PageRank → top 20 by (rank desc, repo, path)."""
+    unrolled PageRank → top 20 by (rank desc, repo, path).
+
+    ``personalized``: all teleport mass on the min-key vertex (string min
+    over the same ``repo || chr(0) || path`` keys the Spark side orders by)
+    — the similar-file-discovery variant."""
     ext_case = (
         "CASE WHEN f.lang = 'python' THEN 'py' "
         "WHEN f.lang = 'java' THEN 'java' ELSE 'h' END"
@@ -446,12 +450,23 @@ def _repo_pagerank_sql(iters: int = PR_ITERS) -> str:
         "verts AS MATERIALIZED (SELECT src AS vid FROM edges0 UNION SELECT dst FROM edges0)",
         "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts)",
         "deg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges0 GROUP BY src)",
-        "pr0 AS MATERIALIZED (SELECT vid, 1.0/(SELECT n FROM nn) AS rank FROM verts)",
+        "sv AS (SELECT min(vid) AS sv FROM verts)",
+        (
+            "pr0 AS MATERIALIZED (SELECT vid, CASE WHEN vid = (SELECT sv FROM sv) "
+            "THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS rank FROM verts)"
+            if personalized
+            else "pr0 AS MATERIALIZED (SELECT vid, 1.0/(SELECT n FROM nn) AS rank FROM verts)"
+        ),
     ]
+    base_term = (
+        "CASE WHEN v.vid = (SELECT sv FROM sv) THEN 0.15 ELSE CAST(0 AS DOUBLE) END"
+        if personalized
+        else "0.15/(SELECT n FROM nn)"
+    )
     for i in range(1, iters + 1):
         ctes.append(
             f"""pr{i} AS MATERIALIZED (
-  SELECT v.vid, 0.85 * coalesce(s.s, 0.0) + 0.15/(SELECT n FROM nn) AS rank
+  SELECT v.vid, 0.85 * coalesce(s.s, 0.0) + {base_term} AS rank
   FROM verts v LEFT JOIN (
     SELECT e.dst AS vid, sum(p.rank/d.deg) AS s
     FROM pr{i-1} p JOIN edges0 e ON p.vid = e.src JOIN deg d ON d.src = e.src
@@ -1528,6 +1543,43 @@ def _q_repo_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_repo_ppr(spark: SparkSession, sf: str) -> DataFrame:
+    """Similar-file discovery on the repo dependency graph: personalized
+    PageRank from the lexicographically-first file key — same ingest
+    pipeline as the uniform flagship, teleport concentrated on one file."""
+    from goffish_v3_spark.operators.pagerank import pagerank
+    from goffish_v3_spark.sources.ingest import ingest
+    from goffish_v3_spark.sources.synthetic import generate_repos
+
+    repos = generate_repos(spark, n_repos=5, files_per_repo=40, seed=42)
+    _ensure_repo_artifact(repos)
+    repos = spark.read.parquet(REPO_ARTIFACT)
+    graph = ingest(repos)
+    pr_verts = (
+        graph.edges.select(F.col("src").alias("vid"))
+        .unionByName(graph.edges.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    key = F.concat(F.col("repo"), F.lit("\x00"), F.col("path"))
+    source_vid = (
+        pr_verts.join(graph.vertices, "vid")
+        .select("vid", key.alias("k"))
+        .orderBy("k")
+        .limit(1)
+        .collect()[0]
+        .vid
+    )
+    pr = pagerank(
+        spark, graph.edges, fixed_iterations=PR_ITERS, teleport_vid=source_vid
+    )
+    return (
+        pr.join(graph.vertices, pr.vid == graph.vertices.vid)
+        .select("repo", "path", F.round("rank", 8).alias("rank"))
+        .orderBy(F.desc("rank"), "repo", "path")
+        .limit(20)
+    )
+
+
 def _q_doc_len_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     """Exact document-length order statistics from the value histogram —
     no global row_number sort (single-partition at scale); integer-exact k
@@ -1926,6 +1978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subgraph_pagerank_cs": _q_subgraph_pagerank_cs,
         "kmeans_partition_cs": _q_kmeans_partition_cs,
         "repo_pagerank_top20": _q_repo_pagerank,
+        "repo_ppr_top20": _q_repo_ppr,
         "doc_len_percentiles": _q_doc_len_percentiles,
         "doc_tokens": _q_doc_tokens,
         "doc_quality": _q_doc_quality,
@@ -1988,6 +2041,7 @@ def oracle_sql() -> dict[str, str]:
         "meta_diameter_cs": META_DIAMETER_SQL,
         "subgraph_pagerank_cs": _pagerank_sql(),
         "repo_pagerank_top20": _repo_pagerank_sql(),
+        "repo_ppr_top20": _repo_pagerank_sql(personalized=True),
         "doc_len_percentiles": DOC_LEN_PCTL_SQL,
         "doc_tokens": DOC_TOKENS_SQL,
         "doc_quality": DOC_QUALITY_SQL,
