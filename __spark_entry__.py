@@ -674,6 +674,43 @@ FROM ks JOIN cum ON cum.cum >= ks.k
 GROUP BY ks.pct, ks.k
 """
 
+# Per-key volume z-scores from exact BIGINT moments; double math only in
+# the closing per-row expression (z = (n*c - Σc) / sqrt(n*Σc² - Σc²_sum)).
+USER_ZSCORE_SQL = """
+WITH c AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n_events) AS BIGINT) AS sx,
+         CAST(sum(n_events * n_events) AS BIGINT) AS sxx
+  FROM c
+)
+SELECT c.user_id, c.n_events,
+       CAST(m.n * c.n_events - m.sx AS DOUBLE)
+       / sqrt(CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE)) AS z
+FROM c, m
+"""
+
+DEGREE_PCTL_SQL = f"""
+WITH e AS ({CS_EDGES_SQL}),
+dv AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+n AS (SELECT count(*) AS n FROM dv),
+ks AS (
+  SELECT CAST(p AS BIGINT) AS pct,
+         (CAST(p AS BIGINT) * (n.n - 1)) // 100 + 1 AS k
+  FROM (VALUES (50), (90), (99), (100)) v(p), n
+),
+h AS (SELECT deg AS val, count(*) AS c FROM dv GROUP BY deg),
+cum AS (
+  SELECT val,
+         sum(c) OVER (ORDER BY val
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM h
+)
+SELECT ks.pct, ks.k, min(cum.val) AS value
+FROM ks JOIN cum ON cum.cum >= ks.k
+GROUP BY ks.pct, ks.k
+"""
+
 DOC_TOKENS_SQL = r"""
 SELECT doc_id,
        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
@@ -1580,6 +1617,29 @@ def _q_repo_ppr(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_user_event_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Volume-anomaly surface: per-user event-count z-score from exact
+    BIGINT moments, double math only in the closing expression."""
+    from goffish_v3_spark.operators.anomaly import count_zscores
+
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    return count_zscores(events, ["user_id"])
+
+
+def _q_degree_percentiles_cs(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact out-degree order statistics on the cs graph — the quantile
+    operator composed onto the graph-side degree view (the skew diagnostic
+    that sizes salting/AQE decisions)."""
+    from goffish_v3_spark.operators.quantiles import exact_quantiles
+
+    deg = (
+        customer_supplier_edges(spark, sf)
+        .groupBy("src")
+        .agg(F.count("*").alias("deg"))
+    )
+    return exact_quantiles(deg, "deg", [50, 90, 99, 100])
+
+
 def _q_doc_len_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     """Exact document-length order statistics from the value histogram —
     no global row_number sort (single-partition at scale); integer-exact k
@@ -1968,6 +2028,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity_copart": _q_assortativity_copart,
         "edge_jaccard_copart": _q_edge_jaccard_copart,
         "degree_histogram_cs": _q_degree_hist_cs,
+        "degree_percentiles_cs": _q_degree_percentiles_cs,
+        "user_event_zscore": _q_user_event_zscore,
         "graph_stats_cs": _q_graph_stats_cs,
         "kcore3_copart": _q_kcore_copart,
         "core_numbers_copart": _q_core_numbers_copart,
@@ -2031,6 +2093,8 @@ def oracle_sql() -> dict[str, str]:
         "assortativity_copart": ASSORT_COPART_SQL,
         "edge_jaccard_copart": EDGE_JACCARD_SQL,
         "degree_histogram_cs": DEGREE_HIST_SQL,
+        "degree_percentiles_cs": DEGREE_PCTL_SQL,
+        "user_event_zscore": USER_ZSCORE_SQL,
         "graph_stats_cs": GRAPH_STATS_SQL,
         "kcore3_copart": _kcore3_sql(),
         "core_numbers_copart": _core_numbers_sql(),

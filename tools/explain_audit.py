@@ -48,6 +48,8 @@ AUDIT: dict[str, dict] = {
     "assortativity_copart": {},
     "edge_jaccard_copart": {},
     "degree_histogram_cs": {},
+    "degree_percentiles_cs": {},
+    "user_event_zscore": {"pruned": [("events", 1)]},
     "graph_stats_cs": {},
     "vertex_count_cs": {},
     "meta_graph_cs": {},
