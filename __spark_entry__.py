@@ -872,6 +872,42 @@ SELECT token, count(*) AS n FROM (
 GROUP BY token ORDER BY n DESC, token LIMIT 50
 """
 
+def _cms_sql(d: int = 3, w: int = 512, seed: int = 0, k: int = 50) -> str:
+    """Exact SQL replay of the count-min build + estimate: identical affine
+    constants (imported from operators.sketch.cms_params — single source of
+    truth), identical polynomial token hash (the doc_fingerprint_det
+    pattern), counters built from per-token weighted sums (cell-wise equal
+    to the occurrence-level Spark build by construction)."""
+    from goffish_v3_spark.operators.sketch import CMS_P, cms_params
+
+    rows = ", ".join(f"({i}, {a}, {b})" for i, a, b in cms_params(d, seed))
+    poly = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_filter(list_transform(string_split_regex(token, ''), "
+        "c -> CAST(unicode(c) AS BIGINT)), c -> c >= 1)), "
+        "(a, c) -> (a * 31 + c) % 1000000007)"
+    )
+    return rf"""
+WITH tok AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents
+  ) WHERE length(token) > 0 GROUP BY token
+),
+keyed AS (SELECT token, n, {poly} AS x FROM tok),
+params(i, a, b) AS (VALUES {rows}),
+counters AS (
+  SELECT p.i AS i, ((k.x * p.a + p.b) % {CMS_P}) % {w} AS bucket,
+         CAST(sum(k.n) AS BIGINT) AS cnt
+  FROM keyed k CROSS JOIN params p GROUP BY 1, 2
+),
+top AS (SELECT token, n, x FROM keyed ORDER BY n DESC, token LIMIT {k})
+SELECT t.token, t.n AS n_true, CAST(min(c.cnt) AS BIGINT) AS n_est
+FROM top t CROSS JOIN params p
+JOIN counters c ON c.i = p.i AND c.bucket = ((t.x * p.a + p.b) % {CMS_P}) % {w}
+GROUP BY t.token, t.n
+"""
+
+
 def _minhash_det_sql(num_hashes=32, bands=8, shingle=3, threshold=0.7) -> str:
     """Exact SQL replay of minhash_lsh_pairs(hash_fn='poly'): same exact-dup
     collapse, polynomial shingle hashes, affine permutations (identical
@@ -1957,6 +1993,31 @@ def _q_media_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_cms_token_estimates(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min-sketch frequency estimates for the top-50 tokens next to
+    their true counts — deterministic affine rows over the polynomial key
+    hash, so sketch state AND estimates replay exactly in SQL. The CMS
+    guarantee (est ≥ true, overcount bounded by collisions at d=3, w=512)
+    is thereby hash-checked, not just asserted."""
+    from goffish_v3_spark.operators.sketch import cms_counters, cms_estimate
+    from goffish_v3_spark.operators.text import polyhash, tokens
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    toks = docs.select(F.explode(tokens("text")).alias("token")).filter(
+        F.length("token") > 0
+    )
+    counters = cms_counters(toks, polyhash(F.col("token")), d=3, w=512)
+    top = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n_true"))
+        .orderBy(F.desc("n_true"), "token")
+        .limit(50)
+    )
+    return cms_estimate(
+        counters, top, polyhash(F.col("token")), d=3, w=512
+    )
+
+
 def _q_top_tokens(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus token frequency top-50 (token-counting surface over the
     documents table; deterministic total order)."""
@@ -2056,6 +2117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": _q_dedup_exact,
         "dedup_keep_one": _q_dedup_keep_one,
         "top_tokens": _q_top_tokens,
+        "cms_token_estimates": _q_cms_token_estimates,
         "minhash_lsh_pairs": _q_minhash_pairs,
         "minhash_lsh_pairs_det": _q_minhash_pairs_det,
         "near_dup_clusters_det": _q_near_dup_clusters_det,
@@ -2121,6 +2183,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_groups": DEDUP_EXACT_SQL,
         "dedup_keep_one": DEDUP_KEEP_ONE_SQL,
         "top_tokens": TOP_TOKENS_SQL,
+        "cms_token_estimates": _cms_sql(),
         "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
         # minhash_lsh_pairs / doc_fingerprint / simhash_near_dups:
         # xxhash64-based (no DuckDB twin); rows-only. doc_fingerprint_det

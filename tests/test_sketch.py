@@ -53,3 +53,68 @@ def test_plan_uses_topk_not_global_sort(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_cms_estimate_upper_bounds_truth(spark):
+    """CMS never undercounts; with w >> keys the fixed constants give no
+    collisions and the estimate is exact (deterministic — seeded params)."""
+    from pyspark.sql import functions as F
+
+    from goffish_v3_spark.operators.sketch import cms_counters, cms_estimate
+    from goffish_v3_spark.operators.text import polyhash
+
+    rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "token string")
+    key = polyhash(F.col("token"))
+    counters = cms_counters(df, key, d=3, w=4096)
+    top = df.groupBy("token").agg(F.count("*").alias("n_true"))
+    got = {r.token: (r.n_true, r.n_est)
+           for r in cms_estimate(counters, top, key, d=3, w=4096).collect()}
+    assert got == {"a": (5, 5), "b": (3, 3), "c": (1, 1)}
+
+
+def test_cms_total_collision_at_w1(spark):
+    """w=1 forces every key into one cell: every estimate equals the total
+    occurrence count — the degenerate upper bound, still never below truth."""
+    from pyspark.sql import functions as F
+
+    from goffish_v3_spark.operators.sketch import cms_counters, cms_estimate
+    from goffish_v3_spark.operators.text import polyhash
+
+    rows = [("a",)] * 5 + [("b",)] * 3
+    df = spark.createDataFrame(rows, "token string")
+    key = polyhash(F.col("token"))
+    counters = cms_counters(df, key, d=2, w=1)
+    top = df.groupBy("token").agg(F.count("*").alias("n_true"))
+    est = cms_estimate(counters, top, key, d=2, w=1).collect()
+    assert all(r.n_est == 8 for r in est)
+
+
+def test_cms_counter_state_is_bounded_and_conservative(spark):
+    """Counter table ≤ d·w cells and each row's cells sum to exactly the
+    number of occurrences (mass conservation — mergeable by addition)."""
+    from pyspark.sql import functions as F
+
+    from goffish_v3_spark.operators.sketch import cms_counters
+    from goffish_v3_spark.operators.text import polyhash
+
+    rows = [(f"t{i % 17}",) for i in range(200)]
+    df = spark.createDataFrame(rows, "token string")
+    counters = cms_counters(df, polyhash(F.col("token")), d=3, w=8)
+    c = counters.collect()
+    assert len(c) <= 3 * 8
+    per_row = {}
+    for r in c:
+        per_row[r.row] = per_row.get(r.row, 0) + r.cnt
+    assert per_row == {0: 200, 1: 200, 2: 200}
+
+
+def test_cms_validation(spark):
+    from pyspark.sql import functions as F
+
+    from goffish_v3_spark.operators.sketch import cms_counters
+    from goffish_v3_spark.operators.text import polyhash
+
+    df = spark.createDataFrame([("a",)], "token string")
+    with pytest.raises(ValueError, match="d and w"):
+        cms_counters(df, polyhash(F.col("token")), d=0, w=8)

@@ -60,6 +60,7 @@ AUDIT: dict[str, dict] = {
     "lang_id": {"pruned": [("documents", 3)]},
     "doc_fingerprint": {"pruned": [("documents", 3)]},
     "top_tokens": {"pruned": [("documents", 3)]},
+    "cms_token_estimates": {"pruned": [("documents", 1)], "bcast": 1},
     "sample_stratified_det": {"pruned": [("documents", 3)]},
     "split_counts_det": {"pruned": [("documents", 2)]},
     "dedup_exact_groups": {"pruned": [("documents", 3)]},
