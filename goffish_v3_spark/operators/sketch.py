@@ -156,3 +156,178 @@ SELECT CAST({k} AS BIGINT) AS k,
              ELSE {float(k - 1)} * {float(MOD)} / max(h) END, 4) AS est_distinct
 FROM t
 """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic HyperLogLog (Flajolet et al. 2007): the third sketch in the
+# auditable trio (KMV = cardinality via order statistics, CMS = frequency,
+# HLL = cardinality via register maxima). Spark's approx_count_distinct IS
+# HLL++, but its register layout is engine-private; this one is built from
+# the published algorithm over a deterministic nonlinear mixer (below), so
+# the FULL register state and the estimate replay in ANSI SQL.
+#
+# Scale shape: one groupBy(bucket).max(rank) with map-side combine — state
+# is m small ints no matter how many billions of keys stream through, and
+# register tables merge by cell-wise MAX (commutative, idempotent: safe
+# under retries and cross-partition unions).
+#
+# Parity note: the estimate avoids every transcendental. alpha_m·m^2 is
+# inlined as ONE Python-float literal on both engines; 2^-register terms are
+# exact powers of two built by integer shift (never pow()); their sum spans
+# < 53 bits so it is EXACT regardless of addition order; the closing divide
+# is a single correctly-rounded IEEE op. (ln() differs between JVM and
+# libm by 1 ulp on ~2% of inputs — measured — so the small-range linear-
+# counting correction E = m·ln(m/V) is intentionally NOT folded in; the
+# zero-register count V is exposed so callers can apply it driver-side.)
+#
+# Mixer note: sampling/KMV's hash_bucket is two composed LCG rounds — an
+# AFFINE map mod 1e9+7. Order statistics (KMV, sampling thresholds) are fine
+# with an equidistributed affine image, but HLL reads leading-zero patterns,
+# and an arithmetic progression mod M has pathological ones (measured: up to
+# ~114% error on sequential keys). HLL therefore gets its own NONLINEAR
+# xor-shift-multiply mixer in 31-bit modular arithmetic: every product is
+# < 2^62 (no BIGINT overflow on either engine — DuckDB raises on wrap, so
+# wraparound 64-bit mixes like splitmix64 are NOT replayable there), and
+# xor/shift/% all exist on both engines with identical integer semantics.
+
+_HLL_MAX_M_BITS = 12  # keep >= 19 bits of rank material under the 31-bit mix
+_HLL_M31 = 1 << 31
+_HLL_MUL1 = 0x45D9F3B  # degski/Wang 32-bit mix multipliers, < 2^31
+_HLL_MUL2 = 0x119DE1F3
+
+
+def _hll_geometry(m_bits: int) -> tuple[int, int]:
+    """(m, R) — register count and rank-material bit width. The nonlinear
+    mixer yields 31 uniform bits; the bucket takes the low m_bits and the
+    rest holds R = 31 - m_bits clean bits; ranks lie in [1, R+1]."""
+    if not 1 <= m_bits <= _HLL_MAX_M_BITS:
+        raise ValueError(f"m_bits must be in [1, {_HLL_MAX_M_BITS}], got {m_bits}")
+    return 1 << m_bits, 31 - m_bits
+
+
+def _hll_seed_const(seed: int) -> int:
+    """Per-seed xor constant folded into the first mix round."""
+    return (0x9E3779B9 * (int(seed) + 1) + 0x85EBCA6B) % _HLL_M31
+
+
+def _hll_mix_steps(seed: int) -> list[str]:
+    """The mix pipeline as SQL expression templates over a column named
+    ``h`` — ONE source of truth rendered into both the Spark plan
+    (sequential selects) and the DuckDB twin (chained CTEs), so the
+    arithmetic cannot drift between engines. ``{xor}`` is the only dialect
+    difference (Spark ``^`` is bitwise xor; DuckDB's is power)."""
+    return [
+        f"{{xor(h, {_hll_seed_const(seed)})}}",
+        "{xor(h, h >> 16)}",
+        f"(h * {_HLL_MUL1}) % {_HLL_M31}",
+        "{xor(h, h >> 13)}",
+        f"(h * {_HLL_MUL2}) % {_HLL_M31}",
+        "{xor(h, h >> 16)}",
+    ]
+
+
+def _render_mix(step: str, dialect: str) -> str:
+    """Render one mix step template for a dialect (see _hll_mix_steps)."""
+    if "{xor(" not in step:
+        return step
+    inner = step[step.index("{xor(") + 5 : step.rindex(")}")]
+    a, b = inner.split(", ", 1)
+    return f"xor({a}, {b})" if dialect == "duckdb" else f"({a} ^ {b})"
+
+
+def hll_alpha_mm(m_bits: int) -> float:
+    """The alpha_m·m² bias-correction constant, computed ONCE in Python and
+    inlined as the same float literal into both the Spark plan and the SQL
+    twin (no per-engine float derivation to drift)."""
+    m, _ = _hll_geometry(m_bits)
+    if m >= 128:
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+    else:
+        alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1.0 + 1.079 / m))
+    return alpha * m * m
+
+
+def hll_registers(
+    df: DataFrame, key_col: str, m_bits: int = 6, seed: int = 0
+) -> DataFrame:
+    """``(bucket long, register int)`` — the HLL register table: for each of
+    the m = 2^m_bits buckets, the max over keys of (leading-zero count of
+    the post-bucket hash bits) + 1. Buckets no key hashed into are absent
+    (they read as register 0; see :func:`hll_distinct_estimate`).
+
+    rank = R - bitlen(rest) + 1 via the binary-string length (``bin()`` on
+    both engines — exact integer semantics, no log2 float round-trip).
+    """
+    m, r_bits = _hll_geometry(m_bits)
+    d = df.select(
+        F.pmod(F.col(key_col).cast("long"), F.lit(_HLL_M31)).alias("h")
+    )
+    for step in _hll_mix_steps(seed):
+        d = d.select(F.expr(f"CAST({_render_mix(step, 'spark')} AS BIGINT) AS h"))
+    rest = F.expr(f"h DIV {m}")
+    bitlen = F.when(rest == 0, F.lit(0)).otherwise(F.length(F.bin(rest)))
+    return (
+        d.select(
+            (F.col("h") % m).alias("bucket"),
+            (F.lit(r_bits + 1) - bitlen).cast("int").alias("rank"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rank").alias("register"))
+    )
+
+
+def hll_distinct_estimate(
+    df: DataFrame, key_col: str, m_bits: int = 6, seed: int = 0
+) -> DataFrame:
+    """One-row ``(m, n_zero_registers, sum_inv, est_hll)`` — the raw HLL
+    cardinality estimate alpha_m·m² / Σ 2^(-M_j), with empty registers
+    contributing 2^0 = 1 each. ``n_zero_registers`` (V) is exposed for the
+    caller's small-range linear-counting correction (see parity note above
+    for why m·ln(m/V) is not computed in-plan)."""
+    m, _ = _hll_geometry(m_bits)
+    regs = hll_registers(df, key_col, m_bits, seed)
+    inv = F.lit(1.0) / F.expr("CAST(shiftleft(CAST(1 AS BIGINT), register) AS DOUBLE)")
+    agg = regs.agg(
+        F.count("*").alias("n_nonzero"), F.sum(inv).alias("sum_seen")
+    )
+    sum_inv = (F.lit(m) - F.col("n_nonzero")).cast("double") + F.col("sum_seen")
+    return agg.select(
+        F.lit(m).cast("long").alias("m"),
+        (F.lit(m) - F.col("n_nonzero")).cast("long").alias("n_zero_registers"),
+        sum_inv.alias("sum_inv"),
+        F.round(F.lit(hll_alpha_mm(m_bits)) / sum_inv, 4).alias("est_hll"),
+    )
+
+
+def hll_sql(table: str, key_expr: str, m_bits: int = 6, seed: int = 0) -> str:
+    """ANSI-SQL twin of :func:`hll_distinct_estimate` — identical mixer,
+    bucket split, bin()-length ranks, shift-built 2^-M terms, and the SAME
+    inlined alpha_m·m² literal, for the DuckDB oracle gate."""
+    m, r_bits = _hll_geometry(m_bits)
+    ctes = [f"m0 AS (SELECT ((({key_expr}) % {_HLL_M31} + {_HLL_M31}) % {_HLL_M31}) AS h FROM {table})"]
+    for i, step in enumerate(_hll_mix_steps(seed)):
+        ctes.append(
+            f"m{i + 1} AS (SELECT CAST({_render_mix(step, 'duckdb')} AS BIGINT) AS h FROM m{i})"
+        )
+    mix = ",\n".join(ctes)
+    return f"""
+WITH {mix},
+h AS (SELECT h FROM m{len(ctes) - 1}),
+r AS (
+  SELECT h % {m} AS bucket,
+         CAST({r_bits + 1} - CASE WHEN h // {m} = 0 THEN 0
+              ELSE length(bin(h // {m})) END AS INT) AS rank
+  FROM h
+),
+regs AS (SELECT bucket, max(rank) AS register FROM r GROUP BY bucket),
+a AS (
+  SELECT count(*) AS n_nonzero,
+         sum(1.0 / CAST(CAST(1 AS BIGINT) << register AS DOUBLE)) AS sum_seen
+  FROM regs
+)
+SELECT CAST({m} AS BIGINT) AS m,
+       CAST({m} - n_nonzero AS BIGINT) AS n_zero_registers,
+       CAST({m} - n_nonzero AS DOUBLE) + sum_seen AS sum_inv,
+       round({hll_alpha_mm(m_bits)!r} / (CAST({m} - n_nonzero AS DOUBLE) + sum_seen), 4) AS est_hll
+FROM a
+"""

@@ -118,3 +118,66 @@ def test_cms_validation(spark):
     df = spark.createDataFrame([("a",)], "token string")
     with pytest.raises(ValueError, match="d and w"):
         cms_counters(df, polyhash(F.col("token")), d=0, w=8)
+
+
+def test_hll_estimate_within_error_bounds(spark):
+    # 20k distinct keys, m=64 -> RSE ~ 1.04/sqrt(64) ≈ 13%; allow 2 sigma
+    from goffish_v3_spark.operators.sketch import hll_distinct_estimate
+
+    df = spark.range(0, 20_000).withColumnRenamed("id", "u")
+    row = hll_distinct_estimate(df, "u", m_bits=6).first()
+    assert row.m == 64
+    assert abs(row.est_hll - 20_000) / 20_000 < 0.26
+
+
+def test_hll_duplicates_do_not_move_the_estimate(spark):
+    # register = MAX over keys -> idempotent under re-insertion (retry-safe)
+    from goffish_v3_spark.operators.sketch import hll_distinct_estimate
+
+    base = spark.range(0, 5_000).withColumnRenamed("id", "u")
+    a = hll_distinct_estimate(base, "u").first()
+    b = hll_distinct_estimate(base.union(base).union(base), "u").first()
+    assert (a.sum_inv, a.est_hll) == (b.sum_inv, b.est_hll)
+
+
+def test_hll_registers_merge_by_cellwise_max(spark):
+    # sketch(A ∪ B) == cellwise max of sketch(A), sketch(B) — the property
+    # that makes HLL state safe to merge across partitions/retries
+    from pyspark.sql import functions as F
+
+    from goffish_v3_spark.operators.sketch import hll_registers
+
+    a = spark.range(0, 3_000).withColumnRenamed("id", "u")
+    b = spark.range(2_000, 7_000).withColumnRenamed("id", "u")
+    merged = {
+        r.bucket: r.register
+        for r in hll_registers(a.union(b), "u").collect()
+    }
+    ra = {r.bucket: r.register for r in hll_registers(a, "u").collect()}
+    rb = {r.bucket: r.register for r in hll_registers(b, "u").collect()}
+    cellwise = {
+        k: max(ra.get(k, 0), rb.get(k, 0)) for k in set(ra) | set(rb)
+    }
+    assert merged == cellwise
+
+
+def test_hll_matches_duckdb_twin(spark):
+    import duckdb as _duckdb
+
+    from goffish_v3_spark.operators.sketch import hll_distinct_estimate, hll_sql
+
+    df = spark.range(0, 3_000).withColumnRenamed("id", "u")
+    got = hll_distinct_estimate(df, "u", m_bits=5, seed=7).first()
+    exp = _duckdb.connect().execute(
+        hll_sql("(SELECT UNNEST(RANGE(0, 3000)) AS u)", "u", m_bits=5, seed=7)
+    ).fetchone()
+    assert (got.m, got.n_zero_registers, got.sum_inv, got.est_hll) == exp
+
+
+def test_hll_rejects_degenerate_m_bits(spark):
+    from goffish_v3_spark.operators.sketch import hll_distinct_estimate
+
+    df = spark.range(0, 10).withColumnRenamed("id", "u")
+    for bad in (0, 13):
+        with pytest.raises(ValueError):
+            hll_distinct_estimate(df, "u", m_bits=bad)
