@@ -871,6 +871,18 @@ HYPERBALL_T2_SQL = _hyperball_sql(
     seed=0,
 )
 
+from goffish_v3_spark.operators.hyperball import (  # noqa: E402
+    harmonic_centrality_sql as _harmonic_sql,
+)
+
+HARMONIC_T3_SQL = _harmonic_sql(
+    "WITH cs AS ({cs}) SELECT src, dst FROM cs "
+    "UNION ALL SELECT dst AS src, src AS dst FROM cs".format(cs=CS_EDGES_SQL),
+    t=3,
+    m_bits=4,
+    seed=0,
+)
+
 DEDUP_EXACT_SQL = """
 SELECT sha256(text) AS content_sha, count(*) AS n_docs, min(doc_id) AS first_doc_id
 FROM documents
@@ -1873,6 +1885,21 @@ def _q_hyperball_t2_cs(spark: SparkSession, sf: str) -> DataFrame:
     return hyperball_ball_sizes(und, t=2, m_bits=5, seed=0)
 
 
+def _q_harmonic_centrality_t3_cs(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate harmonic centrality H(v) = Σ 1/d(v,u) truncated at 3
+    hops on the symmetrized customer–supplier graph — the HyperBall
+    telescope Σ (|B(v,i)|−|B(v,i−1)|)/i with the accumulation expression
+    shared VERBATIM (one string) between the Spark plan and the DuckDB
+    twin, so the doubles are hash-identical."""
+    from goffish_v3_spark.operators.hyperball import harmonic_centrality
+
+    e = customer_supplier_edges(spark, sf).select("src", "dst")
+    und = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return harmonic_centrality(und, t=3, m_bits=4, seed=0)
+
+
 def _q_purchase_asof_click_sliced(spark: SparkSession, sf: str) -> DataFrame:
     """The skew-resilient sliced mode of the same as-of join — slicing is
     semantics-preserving, so it hash-checks against the identical LATERAL
@@ -2156,6 +2183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users_kmv": _q_distinct_users_kmv,
         "distinct_events_hll": _q_distinct_events_hll,
         "hyperball_t2_cs": _q_hyperball_t2_cs,
+        "harmonic_centrality_t3_cs": _q_harmonic_centrality_t3_cs,
         "dedup_exact_groups": _q_dedup_exact,
         "dedup_keep_one": _q_dedup_keep_one,
         "top_tokens": _q_top_tokens,
@@ -2224,6 +2252,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_kmv": DISTINCT_USERS_KMV_SQL,
         "distinct_events_hll": DISTINCT_EVENTS_HLL_SQL,
         "hyperball_t2_cs": HYPERBALL_T2_SQL,
+        "harmonic_centrality_t3_cs": HARMONIC_T3_SQL,
         "dedup_exact_groups": DEDUP_EXACT_SQL,
         "dedup_keep_one": DEDUP_KEEP_ONE_SQL,
         "top_tokens": TOP_TOKENS_SQL,

@@ -125,14 +125,10 @@ def hyperball_ball_sizes(
     )
 
 
-def hyperball_sql(
-    edges_sql: str, t: int = 2, m_bits: int = 5, seed: int = 0
-) -> str:
-    """ANSI-SQL twin of :func:`hyperball_ball_sizes` — identical mixer,
-    identical integer register propagation as ``t`` unrolled CTE layers,
-    the SAME inlined alpha_m·m² literal. ``edges_sql`` must yield columns
-    ``src, dst``."""
-    _check_t(t)
+def _state_ctes(edges_sql: str, t: int, m_bits: int, seed: int) -> list[str]:
+    """CTE list building ``s0 .. s{t}`` — the unrolled register states —
+    over ``edges AS ({edges_sql})``. Shared by the ball-size and harmonic
+    oracle twins so the propagation SQL cannot drift between them."""
     m, r_bits = _hll_geometry(m_bits)
     ctes = [
         f"edges AS ({edges_sql})",
@@ -161,7 +157,19 @@ def hyperball_sql(
             f"FROM edges e JOIN s{i} s ON s.vid = e.dst"
             f") u GROUP BY vid, bucket)"
         )
-    body = ",\n".join(ctes)
+    return ctes
+
+
+def hyperball_sql(
+    edges_sql: str, t: int = 2, m_bits: int = 5, seed: int = 0
+) -> str:
+    """ANSI-SQL twin of :func:`hyperball_ball_sizes` — identical mixer,
+    identical integer register propagation as ``t`` unrolled CTE layers,
+    the SAME inlined alpha_m·m² literal. ``edges_sql`` must yield columns
+    ``src, dst``."""
+    _check_t(t)
+    m, _ = _hll_geometry(m_bits)
+    body = ",\n".join(_state_ctes(edges_sql, t, m_bits, seed))
     return f"""
 WITH {body}
 SELECT CAST(vid AS BIGINT) AS vid,
@@ -171,4 +179,101 @@ SELECT CAST(vid AS BIGINT) AS vid,
        round({hll_alpha_mm(m_bits)!r} / (CAST({m} - count(*) AS DOUBLE)
          + sum(1.0 / CAST(CAST(1 AS BIGINT) << register AS DOUBLE))), 4) AS est_ball
 FROM s{t} GROUP BY vid
+"""
+
+
+def _harmonic_expr(t: int, m_bits: int) -> str:
+    """The harmonic accumulation Σ_{i=1..t} (est_i − est_{i−1})/i as ONE
+    SQL expression string over columns ``sum_inv_0 .. sum_inv_t`` —
+    evaluated verbatim by BOTH engines (Spark via ``F.expr``), so every
+    IEEE operation and its order are identical and the result is
+    hash-exact. Each est_i is the single correctly-rounded division
+    alpha_m·m² / sum_inv_i."""
+    alpha = repr(hll_alpha_mm(m_bits))
+    est = [f"({alpha} / sum_inv_{i})" for i in range(t + 1)]
+    terms = [f"(({est[i]} - {est[i - 1]}) / {i}.0)" for i in range(1, t + 1)]
+    return "round(" + " + ".join(terms) + ", 4)"
+
+
+def _sum_inv_sql(m: int) -> str:
+    """Per-vertex sum_inv aggregate body (zeros folded in) over a state."""
+    return (
+        f"SELECT vid, CAST({m} - count(*) AS DOUBLE) + "
+        "sum(1.0 / CAST(CAST(1 AS BIGINT) << register AS DOUBLE)) AS sum_inv"
+    )
+
+
+def harmonic_centrality(
+    edges: DataFrame, t: int = 3, m_bits: int = 5, seed: int = 0
+) -> DataFrame:
+    """``(vid, harmonic_est)`` — approximate harmonic centrality
+    H(v) = Σ_u 1/d(v,u), truncated at distance ``t``, via the HyperBall
+    telescope H(v) ≈ Σ_{i=1..t} (|B(v,i)| − |B(v,i−1)|)/i (Boldi & Vigna
+    2013, the algorithm's headline application). All t+1 ball states come
+    from the same propagation chain; the per-distance estimates combine
+    in ONE fixed-order expression shared verbatim with the SQL twin.
+
+    Scale note: the states are materialized as one lazy plan here (t is
+    small and bounded); a production run at 10^12 edges would persist
+    each s_i superstep exactly as the BSP operators do — the per-state
+    math is unchanged."""
+    if t < 1:
+        raise ValueError(f"t must be >= 1, got {t}")
+    _check_t(t)
+    m, _ = _hll_geometry(m_bits)
+    e = edges.select(
+        F.col("src").cast("long").alias("e_src"),
+        F.col("dst").cast("long").alias("e_dst"),
+    )
+    inv = F.lit(1.0) / F.expr(
+        "CAST(shiftleft(CAST(1 AS BIGINT), register) AS DOUBLE)"
+    )
+    state = hyperball_registers(edges, 0, m_bits, seed)
+    joined = None
+    for i in range(t + 1):
+        if i > 0:
+            msgs = state.join(e, state.vid == F.col("e_dst")).select(
+                F.col("e_src").alias("vid"), "bucket", "register"
+            )
+            state = (
+                state.unionByName(msgs)
+                .groupBy("vid", "bucket")
+                .agg(F.max("register").alias("register"))
+            )
+        per = state.groupBy("vid").agg(
+            (
+                (F.lit(m) - F.count("*")).cast("double") + F.sum(inv)
+            ).alias(f"sum_inv_{i}")
+        )
+        joined = per if joined is None else joined.join(per, "vid")
+    return joined.select(
+        F.col("vid").cast("long").alias("vid"),
+        F.expr(_harmonic_expr(t, m_bits)).alias("harmonic_est"),
+    )
+
+
+def harmonic_centrality_sql(
+    edges_sql: str, t: int = 3, m_bits: int = 5, seed: int = 0
+) -> str:
+    """ANSI-SQL twin of :func:`harmonic_centrality` — the same unrolled
+    states, per-state sum_inv CTEs, and the IDENTICAL accumulation
+    expression string."""
+    if t < 1:
+        raise ValueError(f"t must be >= 1, got {t}")
+    _check_t(t)
+    m, _ = _hll_geometry(m_bits)
+    ctes = _state_ctes(edges_sql, t, m_bits, seed)
+    for i in range(t + 1):
+        ctes.append(f"e{i} AS ({_sum_inv_sql(m)} FROM s{i} GROUP BY vid)")
+    joins = "e0" + "".join(f" JOIN e{i} USING (vid)" for i in range(1, t + 1))
+    sel = ", ".join(
+        f"e{i}.sum_inv AS sum_inv_{i}" for i in range(t + 1)
+    )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body},
+wide AS (SELECT vid, {sel} FROM {joins})
+SELECT CAST(vid AS BIGINT) AS vid,
+       {_harmonic_expr(t, m_bits)} AS harmonic_est
+FROM wide
 """

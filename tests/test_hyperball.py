@@ -109,3 +109,55 @@ def test_hyperball_rejects_degenerate_t(spark):
             hyperball_registers(e, t=bad)
         with pytest.raises(ValueError, match="t must be"):
             hyperball_sql("SELECT 1 AS src, 2 AS dst", t=bad)
+
+
+def test_harmonic_matches_ball_telescope(spark):
+    # harmonic == sum over i of (est_i - est_{i-1})/i, computed from the
+    # per-t ball-size operator (same states, rounded at the end only)
+    from goffish_v3_spark.operators.hyperball import harmonic_centrality
+
+    e = _edges(spark, [(i, (i * 3 + 1) % 30) for i in range(30)])
+    und = e.union(e.selectExpr("dst AS src", "src AS dst"))
+    t = 2
+    ests = []
+    for i in range(t + 1):
+        ests.append(
+            {r.vid: r.est_ball for r in hyperball_ball_sizes(und, t=i, m_bits=4).collect()}
+        )
+    got = {r.vid: r.harmonic_est for r in harmonic_centrality(und, t=t, m_bits=4).collect()}
+    assert set(got) == set(ests[0])
+    for vid in got:
+        want = sum((ests[i][vid] - ests[i - 1][vid]) / i for i in range(1, t + 1))
+        assert abs(got[vid] - want) < 2e-3
+
+
+def test_harmonic_matches_duckdb_twin(spark):
+    import duckdb as _duckdb
+
+    from goffish_v3_spark.operators.hyperball import (
+        harmonic_centrality,
+        harmonic_centrality_sql,
+    )
+
+    pairs = [(i, (i * 5 + 2) % 25) for i in range(25)]
+    e = _edges(spark, pairs)
+    got = {r.vid: r.harmonic_est for r in harmonic_centrality(e, t=3, m_bits=4, seed=2).collect()}
+    values = ", ".join(f"({s}, {d})" for s, d in pairs)
+    sql = harmonic_centrality_sql(
+        f"SELECT * FROM (VALUES {values}) AS v(src, dst)", t=3, m_bits=4, seed=2
+    )
+    exp = {row[0]: row[1] for row in _duckdb.connect().execute(sql).fetchall()}
+    assert got == exp
+
+
+def test_harmonic_rejects_t_zero(spark):
+    from goffish_v3_spark.operators.hyperball import (
+        harmonic_centrality,
+        harmonic_centrality_sql,
+    )
+
+    e = _edges(spark, [(1, 2)])
+    with pytest.raises(ValueError, match="t must be"):
+        harmonic_centrality(e, t=0)
+    with pytest.raises(ValueError, match="t must be"):
+        harmonic_centrality_sql("SELECT 1 AS src, 2 AS dst", t=0)

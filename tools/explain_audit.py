@@ -82,6 +82,9 @@ AUDIT: dict[str, dict] = {
     "clicks_in_signup_hour": {"pruned": [("events", 4)]},
     "events_rollup_day_type": {"pruned": [("events", 3)]},
     "distinct_users_kmv": {"pruned": [("events", 1)]},
+    "distinct_events_hll": {"pruned": [("events", 1)]},
+    "hyperball_t2_cs": {"pruned": [("lineitem", 2), ("orders", 2)]},
+    "harmonic_centrality_t3_cs": {"pruned": [("lineitem", 2), ("orders", 2)]},
 }
 
 
