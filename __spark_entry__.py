@@ -857,9 +857,13 @@ GROUP BY ROLLUP (day, event_type)
 
 from goffish_v3_spark.operators.sketch import kmv_sql as _kmv_sql  # noqa: E402
 from goffish_v3_spark.operators.sketch import hll_sql as _hll_sql  # noqa: E402
+from goffish_v3_spark.operators.sketch import hll_group_sql as _hll_group_sql  # noqa: E402
 
 DISTINCT_USERS_KMV_SQL = _kmv_sql("events", "user_id", k=64, seed=0)
 DISTINCT_EVENTS_HLL_SQL = _hll_sql("events", "event_id", m_bits=6, seed=0)
+USERS_BY_TYPE_HLL_SQL = _hll_group_sql(
+    "events", ["event_type"], "user_id", m_bits=6, seed=0
+)
 
 from goffish_v3_spark.operators.hyperball import hyperball_sql as _hyperball_sql  # noqa: E402
 
@@ -1870,6 +1874,19 @@ def _q_distinct_events_hll(spark: SparkSession, sf: str) -> DataFrame:
     return hll_distinct_estimate(ev, "event_id", m_bits=6, seed=0)
 
 
+def _q_users_by_type_hll(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped HLL: one distinct-user estimate per event_type in a single
+    ``groupBy(type, bucket).max`` pass — the per-key cardinality shape a
+    100 TB pipeline actually runs (distinct users per day/partition/
+    language) where exact count(distinct) per group would shuffle every
+    key. State is m=64 small ints PER GROUP, merged map-side; registers
+    and estimate replay exactly in the DuckDB oracle."""
+    from goffish_v3_spark.operators.sketch import hll_group_distinct
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return hll_group_distinct(ev, ["event_type"], "user_id", m_bits=6, seed=0)
+
+
 def _q_hyperball_t2_cs(spark: SparkSession, sf: str) -> DataFrame:
     """HyperBall over the symmetrized customer–supplier graph: per-vertex
     approximate 2-hop ball sizes from t=2 supersteps of cell-wise-MAX HLL
@@ -2182,6 +2199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup_day_type": _q_events_rollup,
         "distinct_users_kmv": _q_distinct_users_kmv,
         "distinct_events_hll": _q_distinct_events_hll,
+        "users_by_type_hll": _q_users_by_type_hll,
         "hyperball_t2_cs": _q_hyperball_t2_cs,
         "harmonic_centrality_t3_cs": _q_harmonic_centrality_t3_cs,
         "dedup_exact_groups": _q_dedup_exact,
@@ -2251,6 +2269,7 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup_day_type": EVENTS_ROLLUP_SQL,
         "distinct_users_kmv": DISTINCT_USERS_KMV_SQL,
         "distinct_events_hll": DISTINCT_EVENTS_HLL_SQL,
+        "users_by_type_hll": USERS_BY_TYPE_HLL_SQL,
         "hyperball_t2_cs": HYPERBALL_T2_SQL,
         "harmonic_centrality_t3_cs": HARMONIC_T3_SQL,
         "dedup_exact_groups": DEDUP_EXACT_SQL,

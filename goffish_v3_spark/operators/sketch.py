@@ -331,3 +331,102 @@ SELECT CAST({m} AS BIGINT) AS m,
        round({hll_alpha_mm(m_bits)!r} / (CAST({m} - n_nonzero AS DOUBLE) + sum_seen), 4) AS est_hll
 FROM a
 """
+
+
+def hll_group_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    m_bits: int = 6,
+    seed: int = 0,
+) -> DataFrame:
+    """``(*group_cols, n_zero_registers, sum_inv, est_hll)`` — one HLL
+    cardinality estimate of ``count(distinct key_col)`` PER GROUP — the
+    grouped form of :func:`hll_distinct_estimate` (distinct users per day,
+    per partition, per language...). Same mixer, ranks, and
+    transcendental-free estimate; state is m small ints per group, built
+    by ONE ``groupBy(*groups, bucket).max`` with map-side combine — the
+    sketch never holds the keys, so a group with a billion distinct keys
+    costs the same m ints as a group with ten.
+    """
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty; use hll_distinct_estimate")
+    m, r_bits = _hll_geometry(m_bits)
+    d = df.select(
+        *group_cols, F.pmod(F.col(key_col).cast("long"), F.lit(_HLL_M31)).alias("h")
+    )
+    for step in _hll_mix_steps(seed):
+        d = d.select(
+            *group_cols, F.expr(f"CAST({_render_mix(step, 'spark')} AS BIGINT) AS h")
+        )
+    rest = F.expr(f"h DIV {m}")
+    bitlen = F.when(rest == 0, F.lit(0)).otherwise(F.length(F.bin(rest)))
+    regs = (
+        d.select(
+            *group_cols,
+            (F.col("h") % m).alias("bucket"),
+            (F.lit(r_bits + 1) - bitlen).cast("int").alias("rank"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rank").alias("register"))
+    )
+    inv = F.lit(1.0) / F.expr("CAST(shiftleft(CAST(1 AS BIGINT), register) AS DOUBLE)")
+    agg = regs.groupBy(*group_cols).agg(
+        F.count("*").alias("n_nonzero"), F.sum(inv).alias("sum_seen")
+    )
+    sum_inv = (F.lit(m) - F.col("n_nonzero")).cast("double") + F.col("sum_seen")
+    return agg.select(
+        *group_cols,
+        (F.lit(m) - F.col("n_nonzero")).cast("long").alias("n_zero_registers"),
+        sum_inv.alias("sum_inv"),
+        F.round(F.lit(hll_alpha_mm(m_bits)) / sum_inv, 4).alias("est_hll"),
+    )
+
+
+def hll_group_sql(
+    table: str,
+    group_exprs: list[str],
+    key_expr: str,
+    m_bits: int = 6,
+    seed: int = 0,
+) -> str:
+    """ANSI-SQL twin of :func:`hll_group_distinct`. ``group_exprs`` are
+    ``expr AS name`` pairs rendered into the first CTE; grouping below
+    uses the names."""
+    if not group_exprs:
+        raise ValueError("group_exprs must be non-empty; use hll_sql")
+    m, r_bits = _hll_geometry(m_bits)
+    names = [g.split(" AS ")[-1].strip() for g in group_exprs]
+    gsel = ", ".join(group_exprs)
+    gcols = ", ".join(names)
+    ctes = [
+        f"m0 AS (SELECT {gsel}, ((({key_expr}) % {_HLL_M31} + {_HLL_M31})"
+        f" % {_HLL_M31}) AS h FROM {table})"
+    ]
+    for i, step in enumerate(_hll_mix_steps(seed)):
+        ctes.append(
+            f"m{i + 1} AS (SELECT {gcols}, CAST({_render_mix(step, 'duckdb')} "
+            f"AS BIGINT) AS h FROM m{i})"
+        )
+    mix = ",\n".join(ctes)
+    return f"""
+WITH {mix},
+r AS (
+  SELECT {gcols}, h % {m} AS bucket,
+         CAST({r_bits + 1} - CASE WHEN h // {m} = 0 THEN 0
+              ELSE length(bin(h // {m})) END AS INT) AS rank
+  FROM m{len(ctes) - 1}
+),
+regs AS (SELECT {gcols}, bucket, max(rank) AS register
+         FROM r GROUP BY {gcols}, bucket),
+a AS (
+  SELECT {gcols}, count(*) AS n_nonzero,
+         sum(1.0 / CAST(CAST(1 AS BIGINT) << register AS DOUBLE)) AS sum_seen
+  FROM regs GROUP BY {gcols}
+)
+SELECT {gcols},
+       CAST({m} - n_nonzero AS BIGINT) AS n_zero_registers,
+       CAST({m} - n_nonzero AS DOUBLE) + sum_seen AS sum_inv,
+       round({hll_alpha_mm(m_bits)!r} / (CAST({m} - n_nonzero AS DOUBLE) + sum_seen), 4) AS est_hll
+FROM a
+"""

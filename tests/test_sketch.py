@@ -181,3 +181,65 @@ def test_hll_rejects_degenerate_m_bits(spark):
     for bad in (0, 13):
         with pytest.raises(ValueError):
             hll_distinct_estimate(df, "u", m_bits=bad)
+
+
+def test_hll_group_matches_global_per_group(spark):
+    # grouped HLL over a single group value == ungrouped HLL on that slice
+    from pyspark.sql import functions as F
+
+    from goffish_v3_spark.operators.sketch import (
+        hll_distinct_estimate,
+        hll_group_distinct,
+    )
+
+    df = spark.range(0, 4_000).select(
+        (F.col("id") % 3).alias("g"), (F.col("id") * 7).alias("u")
+    )
+    got = {
+        r.g: (r.n_zero_registers, r.sum_inv, r.est_hll)
+        for r in hll_group_distinct(df, ["g"], "u", m_bits=5).collect()
+    }
+    assert set(got) == {0, 1, 2}
+    for g in (0, 1, 2):
+        ref = hll_distinct_estimate(
+            df.filter(F.col("g") == g), "u", m_bits=5
+        ).first()
+        assert got[g] == (ref.n_zero_registers, ref.sum_inv, ref.est_hll)
+
+
+def test_hll_group_matches_duckdb_twin(spark):
+    import duckdb as _duckdb
+    from pyspark.sql import functions as F
+
+    from goffish_v3_spark.operators.sketch import hll_group_distinct, hll_group_sql
+
+    df = spark.range(0, 2_000).select(
+        (F.col("id") % 4).alias("g"), (F.col("id") * 11 + 5).alias("u")
+    )
+    got = {
+        r.g: (r.n_zero_registers, r.sum_inv, r.est_hll)
+        for r in hll_group_distinct(df, ["g"], "u", m_bits=4, seed=3).collect()
+    }
+    sql = hll_group_sql(
+        "(SELECT id % 4 AS g0, id * 11 + 5 AS u "
+        "FROM (SELECT UNNEST(RANGE(0, 2000)) AS id))",
+        ["g0 AS g"],
+        "u",
+        m_bits=4,
+        seed=3,
+    )
+    exp = {
+        row[0]: (row[1], row[2], row[3])
+        for row in _duckdb.connect().execute(sql).fetchall()
+    }
+    assert got == exp
+
+
+def test_hll_group_requires_groups(spark):
+    from goffish_v3_spark.operators.sketch import hll_group_distinct, hll_group_sql
+
+    df = spark.range(0, 10).withColumnRenamed("id", "u")
+    with pytest.raises(ValueError, match="group"):
+        hll_group_distinct(df, [], "u")
+    with pytest.raises(ValueError, match="group"):
+        hll_group_sql("t", [], "u")
