@@ -865,6 +865,46 @@ USERS_BY_TYPE_HLL_SQL = _hll_group_sql(
     "events", ["event_type"], "user_id", m_bits=6, seed=0
 )
 
+# bloom_semi_join_orders: the oracle is the PLAIN join — hash equality is
+# the end-to-end proof that the bloom prefilter drops no true row.
+BLOOM_SEMI_JOIN_SQL = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 4) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderpriority
+"""
+
+from goffish_v3_spark.operators.bloom import bloom_bits_sql as _bloom_bits_sql  # noqa: E402
+from goffish_v3_spark.operators.bloom import bloom_hashes_sql as _bloom_hashes_sql  # noqa: E402
+
+_BLOOM_M, _BLOOM_K = 4096, 3
+_BLOOM_HASH_CTES, _BLOOM_HASH_FIN = _bloom_hashes_sql("dk", "k0", seed=0, start=100)
+_BLOOM_KS = ", ".join(str(j) for j in range(_BLOOM_K))
+
+# bloom_filter_stats: full Kirsch–Mitzenmacher replay — bit table, per-key
+# membership (all k positions set), candidate/matched/false-positive rows.
+BLOOM_STATS_SQL = f"""
+WITH bits AS ({_bloom_bits_sql("(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')", "c_custkey", m=_BLOOM_M, k=_BLOOM_K, seed=0)}),
+seg AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+dk AS (SELECT DISTINCT o_custkey AS k0 FROM orders),
+{_BLOOM_HASH_CTES},
+e AS (SELECT key, h1, h2, UNNEST([{_BLOOM_KS}]) AS i FROM {_BLOOM_HASH_FIN}),
+p AS (SELECT key, i, (h1 + i * h2) % {_BLOOM_M} AS pos FROM e),
+pass AS (SELECT key FROM p JOIN bits USING (pos)
+         GROUP BY key HAVING count(DISTINCT i) = {_BLOOM_K}),
+cand AS (SELECT o.o_custkey FROM orders o JOIN pass ON o.o_custkey = pass.key)
+SELECT 'n_keys' AS stat, CAST(count(*) AS BIGINT) AS value FROM seg
+UNION ALL SELECT 'n_bits_set', CAST(count(*) AS BIGINT) FROM bits
+UNION ALL SELECT 'candidate_orders', CAST(count(*) AS BIGINT) FROM cand
+UNION ALL SELECT 'matched_orders', CAST(count(*) AS BIGINT)
+          FROM orders JOIN seg ON o_custkey = c_custkey
+UNION ALL SELECT 'false_positive_orders',
+          CAST((SELECT count(*) FROM cand) AS BIGINT)
+          - CAST((SELECT count(*) FROM orders JOIN seg ON o_custkey = c_custkey) AS BIGINT)
+"""
+
 from goffish_v3_spark.operators.hyperball import hyperball_sql as _hyperball_sql  # noqa: E402
 
 HYPERBALL_T2_SQL = _hyperball_sql(
@@ -1887,6 +1927,74 @@ def _q_users_by_type_hll(spark: SparkSession, sf: str) -> DataFrame:
     return hll_group_distinct(ev, ["event_type"], "user_id", m_bits=6, seed=0)
 
 
+def _q_bloom_semi_join_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter semi-join reduction — the canonical 100 TB join shape:
+    distill the selective dim side (BUILDING customers) into a ≤4096-row
+    bit table, broadcast it, prefilter orders with k=3 chained broadcast
+    LEFT SEMI joins (zero fact shuffle), THEN run the real join. The
+    oracle is the PLAIN join SQL: hash equality proves the bloom path
+    drops no true row (false negatives impossible; false positives are
+    removed by the real join)."""
+    from goffish_v3_spark.operators.bloom import bloom_bits, bloom_prefilter
+
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    seg = cust.filter(F.col("c_mktsegment") == "BUILDING")
+    bits = bloom_bits(seg, "c_custkey", m=4096, k=3, seed=0)
+    cand = bloom_prefilter(orders, "o_custkey", bits, m=4096, k=3, seed=0)
+    return (
+        cand.join(
+            F.broadcast(seg.select(F.col("c_custkey").alias("o_custkey"))),
+            "o_custkey",
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+    )
+
+
+def _q_bloom_filter_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter internals, long-format ``(stat, value)`` — key count,
+    set-bit count, candidate rows, matched rows, and the false-positive
+    surplus the real join removes. The DuckDB twin replays the full
+    Kirsch–Mitzenmacher double-hash construction over the same nonlinear
+    31-bit mixer, so every row is hash-checked — the auditability proof
+    behind `bloom_semi_join_orders`'s plain-SQL oracle."""
+    from goffish_v3_spark.operators.bloom import bloom_bits, bloom_prefilter
+
+    m, k = 4096, 3
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet").select("o_custkey")
+    seg = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    bits = bloom_bits(seg, "c_custkey", m=m, k=k, seed=0)
+    cand = bloom_prefilter(orders, "o_custkey", bits, m=m, k=k, seed=0)
+    marked = cand.join(
+        F.broadcast(
+            seg.select(F.col("c_custkey").alias("o_custkey")).withColumn(
+                "is_m", F.lit(1)
+            )
+        ),
+        "o_custkey",
+        "left",
+    )
+    counts = marked.agg(
+        F.count("*").alias("cand_n"), F.count("is_m").alias("match_n")
+    )
+    rows = counts.selectExpr(
+        "stack(3, 'candidate_orders', cand_n, 'matched_orders', match_n, "
+        "'false_positive_orders', cand_n - match_n) AS (stat, value)"
+    )
+    n_keys = seg.agg(F.count("*").alias("value")).select(
+        F.lit("n_keys").alias("stat"), "value"
+    )
+    n_bits = bits.agg(F.count("*").alias("value")).select(
+        F.lit("n_bits_set").alias("stat"), "value"
+    )
+    return n_keys.unionByName(n_bits).unionByName(rows)
+
+
 def _q_hyperball_t2_cs(spark: SparkSession, sf: str) -> DataFrame:
     """HyperBall over the symmetrized customer–supplier graph: per-vertex
     approximate 2-hop ball sizes from t=2 supersteps of cell-wise-MAX HLL
@@ -2200,6 +2308,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users_kmv": _q_distinct_users_kmv,
         "distinct_events_hll": _q_distinct_events_hll,
         "users_by_type_hll": _q_users_by_type_hll,
+        "bloom_semi_join_orders": _q_bloom_semi_join_orders,
+        "bloom_filter_stats": _q_bloom_filter_stats,
         "hyperball_t2_cs": _q_hyperball_t2_cs,
         "harmonic_centrality_t3_cs": _q_harmonic_centrality_t3_cs,
         "dedup_exact_groups": _q_dedup_exact,
@@ -2270,6 +2380,8 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_kmv": DISTINCT_USERS_KMV_SQL,
         "distinct_events_hll": DISTINCT_EVENTS_HLL_SQL,
         "users_by_type_hll": USERS_BY_TYPE_HLL_SQL,
+        "bloom_semi_join_orders": BLOOM_SEMI_JOIN_SQL,
+        "bloom_filter_stats": BLOOM_STATS_SQL,
         "hyperball_t2_cs": HYPERBALL_T2_SQL,
         "harmonic_centrality_t3_cs": HARMONIC_T3_SQL,
         "dedup_exact_groups": DEDUP_EXACT_SQL,
