@@ -83,6 +83,12 @@ AUDIT: dict[str, dict] = {
     "events_rollup_day_type": {"pruned": [("events", 3)]},
     "distinct_users_kmv": {"pruned": [("events", 1)]},
     "distinct_events_hll": {"pruned": [("events", 1)]},
+    "users_by_type_hll": {"pruned": [("events", 2)]},
+    # bloom: k=3 chained broadcast left-semi joins + the broadcast real
+    # join — 4+ broadcasts, zero sort-merge (the fact side never shuffles
+    # for membership testing; the only exchange is the final groupBy).
+    "bloom_semi_join_orders": {"pruned": [("customer", 2), ("orders", 3)], "bcast": 4, "smj": 0},
+    "bloom_filter_stats": {"pruned": [("customer", 2), ("orders", 1)], "bcast": 4},
     "hyperball_t2_cs": {"pruned": [("lineitem", 2), ("orders", 2)]},
     "harmonic_centrality_t3_cs": {"pruned": [("lineitem", 2), ("orders", 2)]},
 }
