@@ -865,6 +865,17 @@ USERS_BY_TYPE_HLL_SQL = _hll_group_sql(
     "events", ["event_type"], "user_id", m_bits=6, seed=0
 )
 
+from goffish_v3_spark.operators.sketch import kmv_set_sql as _kmv_set_sql  # noqa: E402
+
+PURCHASE_CLICK_KMV_SQL = _kmv_set_sql(
+    "(SELECT user_id FROM events WHERE event_type = 'purchase')",
+    "user_id",
+    "(SELECT user_id FROM events WHERE event_type = 'click')",
+    "user_id",
+    k=64,
+    seed=0,
+)
+
 # bloom_semi_join_orders: the oracle is the PLAIN join — hash equality is
 # the end-to-end proof that the bloom prefilter drops no true row.
 BLOOM_SEMI_JOIN_SQL = """
@@ -1927,6 +1938,21 @@ def _q_users_by_type_hll(spark: SparkSession, sf: str) -> DataFrame:
     return hll_group_distinct(ev, ["event_type"], "user_id", m_bits=6, seed=0)
 
 
+def _q_purchase_click_overlap_kmv(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV set algebra over events: estimated |A ∪ B|, |A ∩ B| and Jaccard
+    between the purchasing and clicking user sets, from ONE merged k=64
+    order-statistic sketch (Beyer et al. 2007) — the set-overlap question
+    every funnel/cohort analysis asks, answered with k longs of state per
+    side instead of a distinct-shuffle of every user id. Integer order
+    statistics end-to-end; the DuckDB twin replays the sketch exactly."""
+    from goffish_v3_spark.operators.sketch import kmv_set_relations
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    a = ev.filter(F.col("event_type") == "purchase")
+    b = ev.filter(F.col("event_type") == "click")
+    return kmv_set_relations(a, "user_id", b, "user_id", k=64, seed=0)
+
+
 def _q_bloom_semi_join_orders(spark: SparkSession, sf: str) -> DataFrame:
     """Bloom-filter semi-join reduction — the canonical 100 TB join shape:
     distill the selective dim side (BUILDING customers) into a ≤4096-row
@@ -2308,6 +2334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users_kmv": _q_distinct_users_kmv,
         "distinct_events_hll": _q_distinct_events_hll,
         "users_by_type_hll": _q_users_by_type_hll,
+        "purchase_click_overlap_kmv": _q_purchase_click_overlap_kmv,
         "bloom_semi_join_orders": _q_bloom_semi_join_orders,
         "bloom_filter_stats": _q_bloom_filter_stats,
         "hyperball_t2_cs": _q_hyperball_t2_cs,
@@ -2380,6 +2407,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_kmv": DISTINCT_USERS_KMV_SQL,
         "distinct_events_hll": DISTINCT_EVENTS_HLL_SQL,
         "users_by_type_hll": USERS_BY_TYPE_HLL_SQL,
+        "purchase_click_overlap_kmv": PURCHASE_CLICK_KMV_SQL,
         "bloom_semi_join_orders": BLOOM_SEMI_JOIN_SQL,
         "bloom_filter_stats": BLOOM_STATS_SQL,
         "hyperball_t2_cs": HYPERBALL_T2_SQL,

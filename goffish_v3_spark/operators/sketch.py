@@ -430,3 +430,102 @@ SELECT {gcols},
        round({hll_alpha_mm(m_bits)!r} / (CAST({m} - n_nonzero AS DOUBLE) + sum_seen), 4) AS est_hll
 FROM a
 """
+
+
+# ---------------------------------------------------------------------------
+# KMV set algebra (Beyer et al. 2007): union / intersection / Jaccard
+# estimates between two key sets from ONE merged order-statistic sketch.
+# The union sketch is the k smallest distinct hashes of A ∪ B (KMV is
+# closed under union — merge then re-take k smallest); within it, the
+# fraction rho of hashes seen in BOTH inputs estimates Jaccard, and
+# est_intersection = rho · est_union. When the union has < k distinct
+# hashes the sketch is exhaustive and every figure is exact. All decisions
+# are integer order statistics; the only doubles are the two closing
+# round()ed expressions, shared shape-for-shape with the SQL twin.
+
+
+def kmv_set_relations(
+    df_a: DataFrame,
+    key_a: str,
+    df_b: DataFrame,
+    key_b: str,
+    k: int = 64,
+    seed: int = 0,
+) -> DataFrame:
+    """One-row ``(k, n_union_hashes, kth_hash, n_both, est_union,
+    est_intersection, jaccard_kmv)`` — KMV estimates of ``|A ∪ B|``,
+    ``|A ∩ B|`` and Jaccard between ``df_a[key_a]`` and ``df_b[key_b]``.
+
+    Scale shape: one distinct per side, one groupBy(h) merge with map-side
+    combine, one distributed top-k — state is k longs however large the
+    inputs; see :func:`kmv_set_sql` for the oracle twin."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    ha = df_a.select(
+        hash_bucket(key_a, seed).alias("h"),
+        F.lit(1).alias("in_a"),
+        F.lit(0).alias("in_b"),
+    ).distinct()
+    hb = df_b.select(
+        hash_bucket(key_b, seed).alias("h"),
+        F.lit(0).alias("in_a"),
+        F.lit(1).alias("in_b"),
+    ).distinct()
+    u = (
+        ha.unionByName(hb)
+        .groupBy("h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+        .orderBy("h")
+        .limit(k)
+    )
+    s = u.agg(
+        F.count("*").alias("n"),
+        F.max("h").alias("kth"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("both"),
+    )
+    est_u = F.when(F.col("n") < k, F.col("n").cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(MOD)) / F.col("kth")
+    )
+    rho = F.col("both").cast("double") / F.col("n")
+    return s.select(
+        F.lit(k).cast("long").alias("k"),
+        F.col("n").cast("long").alias("n_union_hashes"),
+        F.col("kth").cast("long").alias("kth_hash"),
+        F.col("both").cast("long").alias("n_both"),
+        F.round(est_u, 4).alias("est_union"),
+        F.round(rho * est_u, 4).alias("est_intersection"),
+        F.round(rho, 4).alias("jaccard_kmv"),
+    )
+
+
+def kmv_set_sql(
+    table_a: str,
+    key_a: str,
+    table_b: str,
+    key_b: str,
+    k: int = 64,
+    seed: int = 0,
+) -> str:
+    """ANSI-SQL twin of :func:`kmv_set_relations` — same mixer, same merged
+    top-k, same estimator expressions, for the DuckDB oracle gate."""
+    est_u = (
+        f"CASE WHEN n < {k} THEN CAST(n AS DOUBLE) "
+        f"ELSE {float(k - 1)} * {float(MOD)} / kth END"
+    )
+    return f"""
+WITH a AS (SELECT DISTINCT {bucket_sql(key_a, seed=seed)} AS h FROM {table_a}),
+b AS (SELECT DISTINCT {bucket_sql(key_b, seed=seed)} AS h FROM {table_b}),
+m AS (SELECT h, 1 AS in_a, 0 AS in_b FROM a
+      UNION ALL SELECT h, 0 AS in_a, 1 AS in_b FROM b),
+u AS (SELECT h, max(in_a) AS in_a, max(in_b) AS in_b FROM m
+      GROUP BY h ORDER BY h LIMIT {k}),
+s AS (SELECT count(*) AS n, max(h) AS kth, sum(in_a * in_b) AS nb FROM u)
+SELECT CAST({k} AS BIGINT) AS k,
+       CAST(n AS BIGINT) AS n_union_hashes,
+       CAST(kth AS BIGINT) AS kth_hash,
+       CAST(nb AS BIGINT) AS n_both,
+       round({est_u}, 4) AS est_union,
+       round((CAST(nb AS DOUBLE) / n) * ({est_u}), 4) AS est_intersection,
+       round(CAST(nb AS DOUBLE) / n, 4) AS jaccard_kmv
+FROM s
+"""

@@ -243,3 +243,62 @@ def test_hll_group_requires_groups(spark):
         hll_group_distinct(df, [], "u")
     with pytest.raises(ValueError, match="group"):
         hll_group_sql("t", [], "u")
+
+
+def test_kmv_set_relations_exhaustive_is_exact(spark):
+    from pyspark.sql import functions as F
+
+    from goffish_v3_spark.operators.sketch import kmv_set_relations
+
+    a = spark.range(0, 30).select((F.col("id") * 2).alias("u"))  # evens 0..58
+    b = spark.range(0, 30).select((F.col("id") * 3).alias("v"))  # 0,3..87
+    r = kmv_set_relations(a, "u", b, "v", k=256).first()
+    union = {i * 2 for i in range(30)} | {i * 3 for i in range(30)}
+    inter = {i * 2 for i in range(30)} & {i * 3 for i in range(30)}
+    assert r.n_union_hashes == len(union)
+    assert r.est_union == float(len(union))
+    assert r.n_both == len(inter)
+    assert r.est_intersection == round(len(inter), 4)
+    assert r.jaccard_kmv == round(len(inter) / len(union), 4)
+
+
+def test_kmv_set_relations_sketched_reasonable(spark):
+    from pyspark.sql import functions as F
+
+    from goffish_v3_spark.operators.sketch import kmv_set_relations
+
+    a = spark.range(0, 5_000).select(F.col("id").alias("u"))
+    b = spark.range(2_500, 7_500).select(F.col("id").alias("u"))
+    r = kmv_set_relations(a, "u", b, "u", k=128).first()
+    assert r.n_union_hashes == 128  # sketched, not exhaustive
+    assert 0.5 * 7_500 < r.est_union < 1.5 * 7_500
+    assert 0.4 * 2_500 < r.est_intersection < 1.9 * 2_500
+
+
+def test_kmv_set_relations_matches_duckdb_twin(spark):
+    import duckdb as _duckdb
+    from pyspark.sql import functions as F
+
+    from goffish_v3_spark.operators.sketch import kmv_set_relations, kmv_set_sql
+
+    a = spark.range(0, 900).select((F.col("id") * 7 + 1).alias("u"))
+    b = spark.range(0, 900).select((F.col("id") * 5 + 1).alias("v"))
+    got = kmv_set_relations(a, "u", b, "v", k=64, seed=2).first()
+    sql = kmv_set_sql(
+        "(SELECT UNNEST(RANGE(0, 900)) * 7 + 1 AS u)",
+        "u",
+        "(SELECT UNNEST(RANGE(0, 900)) * 5 + 1 AS v)",
+        "v",
+        k=64,
+        seed=2,
+    )
+    exp = _duckdb.connect().execute(sql).fetchone()
+    assert tuple(got) == exp
+
+
+def test_kmv_set_relations_rejects_bad_k(spark):
+    from goffish_v3_spark.operators.sketch import kmv_set_relations
+
+    df = spark.range(0, 10).withColumnRenamed("id", "u")
+    with pytest.raises(ValueError):
+        kmv_set_relations(df, "u", df, "u", k=1)

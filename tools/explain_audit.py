@@ -84,6 +84,7 @@ AUDIT: dict[str, dict] = {
     "distinct_users_kmv": {"pruned": [("events", 1)]},
     "distinct_events_hll": {"pruned": [("events", 1)]},
     "users_by_type_hll": {"pruned": [("events", 2)]},
+    "purchase_click_overlap_kmv": {"pruned": [("events", 2)]},
     # bloom: k=3 chained broadcast left-semi joins + the broadcast real
     # join — 4+ broadcasts, zero sort-merge (the fact side never shuffles
     # for membership testing; the only exchange is the final groupBy).
