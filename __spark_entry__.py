@@ -938,6 +938,18 @@ HARMONIC_T3_SQL = _harmonic_sql(
     seed=0,
 )
 
+from goffish_v3_spark.operators.hyperball import (  # noqa: E402
+    neighborhood_function_sql as _nf_sql,
+)
+
+NEIGHBORHOOD_FN_SQL = _nf_sql(
+    "WITH cs AS ({cs}) SELECT src, dst FROM cs "
+    "UNION ALL SELECT dst AS src, src AS dst FROM cs".format(cs=CS_EDGES_SQL),
+    t=3,
+    m_bits=4,
+    seed=0,
+)
+
 DEDUP_EXACT_SQL = """
 SELECT sha256(text) AS content_sha, count(*) AS n_docs, min(doc_id) AS first_doc_id
 FROM documents
@@ -1938,6 +1950,23 @@ def _q_users_by_type_hll(spark: SparkSession, sf: str) -> DataFrame:
     return hll_group_distinct(ev, ["event_type"], "user_id", m_bits=6, seed=0)
 
 
+def _q_neighborhood_fn_cs(spark: SparkSession, sf: str) -> DataFrame:
+    """Neighborhood function N(radius) and 90% effective diameter on the
+    symmetrized customer–supplier graph — the ANF application HyperBall
+    exists for (Boldi & Vigna 2013): how many pairs are within i hops, and
+    at what radius reachability saturates. Cross-vertex aggregation happens
+    on EXACT integers (per-vertex estimates rounded+scaled first), so the
+    whole table — not just per-vertex rows — replays hash-identically in
+    the DuckDB oracle's unrolled CTEs."""
+    from goffish_v3_spark.operators.hyperball import neighborhood_function
+
+    e = customer_supplier_edges(spark, sf).select("src", "dst")
+    und = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return neighborhood_function(und, t=3, m_bits=4, seed=0)
+
+
 def _q_purchase_click_overlap_kmv(spark: SparkSession, sf: str) -> DataFrame:
     """KMV set algebra over events: estimated |A ∪ B|, |A ∩ B| and Jaccard
     between the purchasing and clicking user sets, from ONE merged k=64
@@ -2339,6 +2368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_filter_stats": _q_bloom_filter_stats,
         "hyperball_t2_cs": _q_hyperball_t2_cs,
         "harmonic_centrality_t3_cs": _q_harmonic_centrality_t3_cs,
+        "neighborhood_fn_cs": _q_neighborhood_fn_cs,
         "dedup_exact_groups": _q_dedup_exact,
         "dedup_keep_one": _q_dedup_keep_one,
         "top_tokens": _q_top_tokens,
@@ -2412,6 +2442,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_filter_stats": BLOOM_STATS_SQL,
         "hyperball_t2_cs": HYPERBALL_T2_SQL,
         "harmonic_centrality_t3_cs": HARMONIC_T3_SQL,
+        "neighborhood_fn_cs": NEIGHBORHOOD_FN_SQL,
         "dedup_exact_groups": DEDUP_EXACT_SQL,
         "dedup_keep_one": DEDUP_KEEP_ONE_SQL,
         "top_tokens": TOP_TOKENS_SQL,

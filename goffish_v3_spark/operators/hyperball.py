@@ -277,3 +277,118 @@ SELECT CAST(vid AS BIGINT) AS vid,
        {_harmonic_expr(t, m_bits)} AS harmonic_est
 FROM wide
 """
+
+
+# ---------------------------------------------------------------------------
+# Neighborhood function & effective diameter (the ANF application HyperBall
+# was built for): N(i) = Σ_v |B(v, i)| for i = 0..t, and the smallest radius
+# whose N reaches 90% of N(t). Parity trick: a cross-vertex SUM of raw
+# doubles is addition-order-dependent, so each per-vertex estimate is first
+# rounded to 4dp and scaled to an EXACT integer (×10^4); every cross-vertex
+# aggregate is then integer arithmetic — order-independent on both engines —
+# and the only doubles in the output are single divisions of those integers.
+
+_NF_SCALE = 10_000
+
+
+def _scaled_est_expr(m_bits: int) -> str:
+    """Per-vertex ball estimate, rounded to 4dp and scaled to an integer —
+    ONE expression string over column ``sum_inv``, evaluated verbatim by
+    both engines."""
+    alpha = repr(hll_alpha_mm(m_bits))
+    return f"CAST(round(({alpha} / sum_inv) * {_NF_SCALE}.0, 0) AS BIGINT)"
+
+
+def neighborhood_function(
+    edges: DataFrame, t: int = 3, m_bits: int = 5, seed: int = 0
+) -> DataFrame:
+    """``(radius, n_vertices, pairs_scaled, n_pairs_est, frac_of_final,
+    reaches_90pct)`` — one row per radius 0..t: the approximate number of
+    reachable pairs N(radius) (as the exact integer ``pairs_scaled`` =
+    N·10^4 and the derived double), its fraction of N(t), and the 90%
+    effective-diameter flag (the smallest flagged radius is the estimate).
+    N is nondecreasing in the radius, so ``frac_of_final`` compares
+    against N(t) directly."""
+    if t < 1:
+        raise ValueError(f"t must be >= 1, got {t}")
+    _check_t(t)
+    m, _ = _hll_geometry(m_bits)
+    e = edges.select(
+        F.col("src").cast("long").alias("e_src"),
+        F.col("dst").cast("long").alias("e_dst"),
+    )
+    inv = F.lit(1.0) / F.expr(
+        "CAST(shiftleft(CAST(1 AS BIGINT), register) AS DOUBLE)"
+    )
+    state = hyperball_registers(edges, 0, m_bits, seed)
+    rows = None
+    for i in range(t + 1):
+        if i > 0:
+            msgs = state.join(e, state.vid == F.col("e_dst")).select(
+                F.col("e_src").alias("vid"), "bucket", "register"
+            )
+            state = (
+                state.unionByName(msgs)
+                .groupBy("vid", "bucket")
+                .agg(F.max("register").alias("register"))
+            )
+        per = state.groupBy("vid").agg(
+            ((F.lit(m) - F.count("*")).cast("double") + F.sum(inv)).alias(
+                "sum_inv"
+            )
+        )
+        row = per.select(
+            F.expr(_scaled_est_expr(m_bits)).alias("s")
+        ).agg(
+            F.lit(i).cast("long").alias("radius"),
+            F.count("*").alias("n_vertices"),
+            F.sum("s").alias("pairs_scaled"),
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    from pyspark.sql import Window
+
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    final = F.max("pairs_scaled").over(w)
+    return rows.select(
+        "radius",
+        "n_vertices",
+        "pairs_scaled",
+        (F.col("pairs_scaled") / F.lit(float(_NF_SCALE))).alias("n_pairs_est"),
+        F.round(F.col("pairs_scaled").cast("double") / final, 4).alias(
+            "frac_of_final"
+        ),
+        (F.col("pairs_scaled") * 10 >= final * 9).alias("reaches_90pct"),
+    )
+
+
+def neighborhood_function_sql(
+    edges_sql: str, t: int = 3, m_bits: int = 5, seed: int = 0
+) -> str:
+    """ANSI-SQL twin of :func:`neighborhood_function` — the same unrolled
+    states, the IDENTICAL scaled-estimate expression string, and integer
+    cross-vertex aggregation."""
+    if t < 1:
+        raise ValueError(f"t must be >= 1, got {t}")
+    _check_t(t)
+    m, _ = _hll_geometry(m_bits)
+    ctes = _state_ctes(edges_sql, t, m_bits, seed)
+    scaled = _scaled_est_expr(m_bits)
+    for i in range(t + 1):
+        ctes.append(f"p{i} AS ({_sum_inv_sql(m)} FROM s{i} GROUP BY vid)")
+        ctes.append(
+            f"n{i} AS (SELECT CAST({i} AS BIGINT) AS radius, "
+            f"CAST(count(*) AS BIGINT) AS n_vertices, "
+            f"CAST(sum({scaled}) AS BIGINT) AS pairs_scaled FROM p{i})"
+        )
+    unions = " UNION ALL ".join(f"SELECT * FROM n{i}" for i in range(t + 1))
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body},
+allr AS ({unions})
+SELECT radius, n_vertices, pairs_scaled,
+       pairs_scaled / {_NF_SCALE}.0 AS n_pairs_est,
+       round(CAST(pairs_scaled AS DOUBLE) / max(pairs_scaled) OVER (), 4)
+         AS frac_of_final,
+       (pairs_scaled * 10 >= max(pairs_scaled) OVER () * 9) AS reaches_90pct
+FROM allr
+"""

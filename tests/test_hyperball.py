@@ -161,3 +161,61 @@ def test_harmonic_rejects_t_zero(spark):
         harmonic_centrality(e, t=0)
     with pytest.raises(ValueError, match="t must be"):
         harmonic_centrality_sql("SELECT 1 AS src, 2 AS dst", t=0)
+
+
+def test_neighborhood_function_monotone_and_exhaustive(spark):
+    from goffish_v3_spark.operators.hyperball import neighborhood_function
+
+    # path 1->2->3->4 plus back-edges: after t=3 every vertex reaches all
+    e = _edges(
+        spark, [(1, 2), (2, 3), (3, 4), (4, 3), (3, 2), (2, 1)]
+    )
+    rows = sorted(
+        neighborhood_function(e, t=3, m_bits=6).collect(),
+        key=lambda r: r.radius,
+    )
+    assert [r.radius for r in rows] == [0, 1, 2, 3]
+    assert all(r.n_vertices == 4 for r in rows)
+    vals = [r.pairs_scaled for r in rows]
+    assert vals == sorted(vals)  # N(i) nondecreasing
+    assert rows[-1].frac_of_final == 1.0
+    assert rows[-1].reaches_90pct
+    # the flag identifies the effective diameter: flagged radii are a suffix
+    flags = [r.reaches_90pct for r in rows]
+    assert flags == sorted(flags)
+
+
+def test_neighborhood_function_matches_duckdb_twin(spark):
+    import duckdb as _duckdb
+
+    from goffish_v3_spark.operators.hyperball import (
+        neighborhood_function,
+        neighborhood_function_sql,
+    )
+
+    pairs = [(i, (i * 3 + 1) % 40) for i in range(40)] + [
+        (i, (i + 7) % 40) for i in range(40)
+    ]
+    e = _edges(spark, pairs)
+    got = sorted(
+        tuple(r) for r in neighborhood_function(e, t=2, m_bits=4, seed=1).collect()
+    )
+    vals = ", ".join(f"({s}, {d})" for s, d in pairs)
+    sql = neighborhood_function_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(src, dst)", t=2, m_bits=4, seed=1
+    )
+    exp = sorted(tuple(r) for r in _duckdb.connect().execute(sql).fetchall())
+    assert got == exp
+
+
+def test_neighborhood_function_rejects_bad_t(spark):
+    from goffish_v3_spark.operators.hyperball import (
+        neighborhood_function,
+        neighborhood_function_sql,
+    )
+
+    e = _edges(spark, [(1, 2)])
+    with pytest.raises(ValueError):
+        neighborhood_function(e, t=0)
+    with pytest.raises(ValueError):
+        neighborhood_function_sql("edges", t=99)

@@ -92,6 +92,7 @@ AUDIT: dict[str, dict] = {
     "bloom_filter_stats": {"pruned": [("customer", 2), ("orders", 1)], "bcast": 4},
     "hyperball_t2_cs": {"pruned": [("lineitem", 2), ("orders", 2)]},
     "harmonic_centrality_t3_cs": {"pruned": [("lineitem", 2), ("orders", 2)]},
+    "neighborhood_fn_cs": {"pruned": [("lineitem", 2), ("orders", 2)]},
 }
 
 
