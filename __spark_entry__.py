@@ -999,12 +999,20 @@ GROUP BY t.token, t.n
 """
 
 
-def _minhash_det_sql(num_hashes=32, bands=8, shingle=3, threshold=0.7) -> str:
+def _minhash_det_sql(
+    num_hashes=32,
+    bands=8,
+    shingle=3,
+    threshold=0.7,
+    source_sql="SELECT doc_id AS id, sha256(text) AS sha, text FROM documents",
+) -> str:
     """Exact SQL replay of minhash_lsh_pairs(hash_fn='poly'): same exact-dup
     collapse, polynomial shingle hashes, affine permutations (identical
     (a_i, b_i) constants, inlined as literals), signature-slice band
     buckets, shared-bucket candidates, exact hashed-shingle Jaccard ≥
-    threshold, and identical-group expansion (operators/dedup.py:94-260)."""
+    threshold, and identical-group expansion (operators/dedup.py:94-260).
+    ``source_sql`` must yield columns ``(id, sha, text)`` — parameterized so
+    the same replay runs over any table (documents, the repos artifact)."""
     MIX_A, MASK = 0x9E3779B97F4A7C15, (1 << 31) - 1
     params = ", ".join(
         f"({i}, {((MIX_A * (2 * i + 1)) % MASK) or 1}, {(MIX_A * (i + 7) ** 2 + 13) % MASK})"
@@ -1013,7 +1021,7 @@ def _minhash_det_sql(num_hashes=32, bands=8, shingle=3, threshold=0.7) -> str:
     rpb = num_hashes // bands
     return rf"""
 WITH keyed AS (
-  SELECT doc_id AS id, sha256(text) AS sha, text FROM documents
+  {source_sql}
 ), grp AS (
   SELECT sha, min(id) AS rep FROM keyed GROUP BY sha
 ), members AS (
@@ -1072,6 +1080,14 @@ UNION ALL SELECT id_a, id_b, jaccard FROM intra
 
 
 MINHASH_DET_SQL = _minhash_det_sql(threshold=0.5)
+
+# repo_file_near_dups: the SAME replay over the committed repos artifact,
+# string-keyed like the flagship repo queries (REPO_ARTIFACT is defined
+# below; the f-string resolves at module import, after both exist).
+_REPO_DEDUP_SOURCE = (
+    "SELECT repo || chr(0) || path AS id, sha256(content) AS sha, "
+    "content AS text FROM read_parquet('{art}/*.parquet')"
+)
 
 # near-dup CLUSTERS: transitive closure over the det LSH pair graph
 # (WITH RECURSIVE hash-min reachability), canonical = min doc id per
@@ -1531,6 +1547,10 @@ def _q_subgraph_pagerank_cs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 REPO_ARTIFACT = "/root/repo/.artifacts/repos_oracle_parquet"
+
+REPO_MINHASH_SQL = _minhash_det_sql(
+    threshold=0.4, source_sql=_REPO_DEDUP_SOURCE.format(art=REPO_ARTIFACT)
+)
 MEDIA_ARTIFACT = "/root/repo/.artifacts/media_oracle_parquet"
 
 
@@ -2136,6 +2156,28 @@ def _q_minhash_pairs_det(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_repo_file_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """The det MinHash-LSH dedup pipeline applied to the NORTH-STAR input
+    shape: source files of the committed repos artifact, keyed by the same
+    ``repo || chr(0) || path`` string key the flagship PageRank orders by.
+    This is the 100 TB pre-training dedup pass run on the code corpus the
+    link graph is derived from — near-duplicate source files (shared import
+    blocks and boilerplate, distinct content hashes) surface as pairs. Full
+    pipeline replay in the DuckDB twin over the identical artifact."""
+    from goffish_v3_spark.operators.dedup import minhash_lsh_pairs
+    from goffish_v3_spark.sources.synthetic import generate_repos
+
+    repos = generate_repos(spark, n_repos=5, files_per_repo=40, seed=42)
+    _ensure_repo_artifact(repos)
+    files = spark.read.parquet(REPO_ARTIFACT).select(
+        F.concat_ws("\x00", F.col("repo"), F.col("path")).alias("doc_id"),
+        F.col("content").alias("text"),
+    )
+    return minhash_lsh_pairs(
+        files, jaccard_threshold=0.4, hash_fn="poly", max_bucket_width=None
+    )
+
+
 def _q_near_dup_clusters_det(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup clusters over the det LSH pair graph: the pair generator is
     minhash_lsh_pairs(hash_fn='poly') (hash-checked above as
@@ -2375,6 +2417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_token_estimates": _q_cms_token_estimates,
         "minhash_lsh_pairs": _q_minhash_pairs,
         "minhash_lsh_pairs_det": _q_minhash_pairs_det,
+        "repo_file_near_dups": _q_repo_file_near_dups,
         "near_dup_clusters_det": _q_near_dup_clusters_det,
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_fingerprint_det": _q_doc_fingerprint_det,
@@ -2454,6 +2497,7 @@ def oracle_sql() -> dict[str, str]:
         # minhash_lsh_pairs_det of the full LSH pipeline.
         "doc_fingerprint_det": DOC_FINGERPRINT_DET_SQL,
         "minhash_lsh_pairs_det": MINHASH_DET_SQL,
+        "repo_file_near_dups": REPO_MINHASH_SQL,
         "near_dup_clusters_det": NEAR_DUP_CLUSTERS_SQL,
         "simhash_near_dups_det": SIMHASH_DET_SQL,
         "ann_cosine_top3": ANN_TOPK_SQL,
