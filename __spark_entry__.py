@@ -950,6 +950,15 @@ NEIGHBORHOOD_FN_SQL = _nf_sql(
     seed=0,
 )
 
+from goffish_v3_spark.operators.walks import random_walks_sql as _walks_sql  # noqa: E402
+
+RANDOM_WALKS_SQL = _walks_sql(
+    "WITH cs AS ({cs}) SELECT src, dst FROM cs "
+    "UNION ALL SELECT dst AS src, src AS dst FROM cs".format(cs=CS_EDGES_SQL),
+    length=4,
+    num_walks=1,
+)
+
 DEDUP_EXACT_SQL = """
 SELECT sha256(text) AS content_sha, count(*) AS n_docs, min(doc_id) AS first_doc_id
 FROM documents
@@ -1987,6 +1996,21 @@ def _q_neighborhood_fn_cs(spark: SparkSession, sf: str) -> DataFrame:
     return neighborhood_function(und, t=3, m_bits=4, seed=0)
 
 
+def _q_random_walks_cs(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic random walks on the symmetrized customer–supplier
+    graph — the DeepWalk/node2vec corpus generator: 4-hop walks from every
+    vertex, neighbor choice hashed from (current, step, walk) so reruns,
+    retries, and shards emit byte-identical corpora. All-integer output;
+    the DuckDB twin replays the indexed adjacency and every hop."""
+    from goffish_v3_spark.operators.walks import random_walks
+
+    e = customer_supplier_edges(spark, sf).select("src", "dst")
+    und = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return random_walks(und, length=4, num_walks=1)
+
+
 def _q_purchase_click_overlap_kmv(spark: SparkSession, sf: str) -> DataFrame:
     """KMV set algebra over events: estimated |A ∪ B|, |A ∩ B| and Jaccard
     between the purchasing and clicking user sets, from ONE merged k=64
@@ -2411,6 +2435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyperball_t2_cs": _q_hyperball_t2_cs,
         "harmonic_centrality_t3_cs": _q_harmonic_centrality_t3_cs,
         "neighborhood_fn_cs": _q_neighborhood_fn_cs,
+        "random_walks_cs": _q_random_walks_cs,
         "dedup_exact_groups": _q_dedup_exact,
         "dedup_keep_one": _q_dedup_keep_one,
         "top_tokens": _q_top_tokens,
@@ -2486,6 +2511,7 @@ def oracle_sql() -> dict[str, str]:
         "hyperball_t2_cs": HYPERBALL_T2_SQL,
         "harmonic_centrality_t3_cs": HARMONIC_T3_SQL,
         "neighborhood_fn_cs": NEIGHBORHOOD_FN_SQL,
+        "random_walks_cs": RANDOM_WALKS_SQL,
         "dedup_exact_groups": DEDUP_EXACT_SQL,
         "dedup_keep_one": DEDUP_KEEP_ONE_SQL,
         "top_tokens": TOP_TOKENS_SQL,

@@ -93,6 +93,7 @@ AUDIT: dict[str, dict] = {
     "hyperball_t2_cs": {"pruned": [("lineitem", 2), ("orders", 2)]},
     "harmonic_centrality_t3_cs": {"pruned": [("lineitem", 2), ("orders", 2)]},
     "neighborhood_fn_cs": {"pruned": [("lineitem", 2), ("orders", 2)]},
+    "random_walks_cs": {"pruned": [("lineitem", 2), ("orders", 2)]},
 }
 
 
