@@ -528,6 +528,12 @@ SELECT d.vid, d.deg,
 FROM d LEFT JOIN t USING (vid)
 """
 
+from goffish_v3_spark.operators.linkpred import (  # noqa: E402
+    link_prediction_sql as _link_pred_sql,
+)
+
+LINK_PRED_COPART_SQL = _link_pred_sql(COPART_EDGES_SQL, k=3)
+
 # Common neighbors of an existing edge = triangles through it; Jaccard =
 # cn / (deg(u) + deg(v) - cn) (networkx convention, denominator >= 2).
 EDGE_JACCARD_SQL = f"""
@@ -1411,6 +1417,19 @@ def _q_edge_jaccard_copart(spark: SparkSession, sf: str) -> DataFrame:
     from goffish_v3_spark.operators.triangles import edge_jaccard
 
     return edge_jaccard(copart_edges(spark, sf))
+
+
+def _q_link_pred_copart(spark: SparkSession, sf: str) -> DataFrame:
+    """Link-prediction candidate generation on the copart graph: for every
+    part, the top-3 non-adjacent parts by shared co-order neighbors
+    (Liben-Nowell–Kleinberg common neighbors) — one wedge self-join hashed
+    on the center, LEFT ANTI against the edge set, pinned-order top-k.
+    All-integer output; full SQL replay."""
+    from goffish_v3_spark.operators.linkpred import (
+        link_prediction_common_neighbors,
+    )
+
+    return link_prediction_common_neighbors(copart_edges(spark, sf), k=3)
 
 
 def _q_tc_skew(spark: SparkSession, sf: str) -> DataFrame:
@@ -2436,6 +2455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_centrality_t3_cs": _q_harmonic_centrality_t3_cs,
         "neighborhood_fn_cs": _q_neighborhood_fn_cs,
         "random_walks_cs": _q_random_walks_cs,
+        "link_pred_copart": _q_link_pred_copart,
         "dedup_exact_groups": _q_dedup_exact,
         "dedup_keep_one": _q_dedup_keep_one,
         "top_tokens": _q_top_tokens,
@@ -2512,6 +2532,7 @@ def oracle_sql() -> dict[str, str]:
         "harmonic_centrality_t3_cs": HARMONIC_T3_SQL,
         "neighborhood_fn_cs": NEIGHBORHOOD_FN_SQL,
         "random_walks_cs": RANDOM_WALKS_SQL,
+        "link_pred_copart": LINK_PRED_COPART_SQL,
         "dedup_exact_groups": DEDUP_EXACT_SQL,
         "dedup_keep_one": DEDUP_KEEP_ONE_SQL,
         "top_tokens": TOP_TOKENS_SQL,

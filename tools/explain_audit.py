@@ -94,6 +94,7 @@ AUDIT: dict[str, dict] = {
     "harmonic_centrality_t3_cs": {"pruned": [("lineitem", 2), ("orders", 2)]},
     "neighborhood_fn_cs": {"pruned": [("lineitem", 2), ("orders", 2)]},
     "random_walks_cs": {"pruned": [("lineitem", 2), ("orders", 2)]},
+    "link_pred_copart": {"pruned": [("lineitem", 2)]},
 }
 
 
