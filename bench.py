@@ -398,6 +398,17 @@ def main() -> None:
         "core_numbers_copart",
         lambda: core_numbers(spark, cp, num_parts=CPUS).count(),
     )
+    # link prediction shares the wedge join's quadratic risk (wedges ∝
+    # Σ deg²) — benched on the same graph as the triangle suite so the
+    # two walls are directly comparable
+    from goffish_v3_spark.operators.linkpred import (
+        link_prediction_common_neighbors,
+    )
+
+    extra["link_pred_rows"] = b.run(
+        "link_pred_copart",
+        lambda: link_prediction_common_neighbors(cp, k=3).count(),
+    )
     extra["copart_edges"] = n_cp
     cp.unpersist()
     cs.unpersist()
@@ -421,6 +432,14 @@ def main() -> None:
     extra["triangle_skew_wedges_degree"] = wedge_count(skew, "degree")
     extra["triangles_skew"] = b.run(
         "triangle_count_skew10m", lambda: triangle_count(skew)
+    )
+    # walk-corpus generation on the same skewed 10M-edge fixture: one
+    # row_number index shuffle + length equi-joins of a 1M-vertex frontier
+    from goffish_v3_spark.operators.walks import random_walks
+
+    extra["walk_rows"] = b.run(
+        "random_walks_skew10m",
+        lambda: random_walks(skew, length=4, num_walks=1, materialize=True).count(),
     )
     skew.unpersist()
 
@@ -488,6 +507,20 @@ def main() -> None:
             tj_points, tj_ivals, "ts", "s", "e", on=["k"], bucket_width_sec=1_000_000
         ).count(),
     )
+
+    # Bloom semi-join reduction at fact scale: 50k dim keys distilled into
+    # a ≤2^20-row bit table, 10M fact rows prefiltered by 3 chained
+    # broadcast LEFT SEMI joins — zero fact shuffle; candidate count
+    # recorded so the false-positive surplus is a visible number
+    from goffish_v3_spark.operators.bloom import bloom_bits, bloom_prefilter
+
+    bloom_dim = spark.range(0, 50_000).select((F.col("id") * 2).alias("k"))
+
+    def _bloom_10m() -> int:
+        bits = bloom_bits(bloom_dim, "k", m=1 << 20, k=3, seed=0)
+        return bloom_prefilter(tj_points, "k", bits, m=1 << 20, k=3, seed=0).count()
+
+    extra["bloom_candidates_10m"] = b.run("bloom_prefilter_10m", _bloom_10m)
 
     # ---- flagship: synthetic repos → ingest → PageRank ------------------
     state: dict[str, object] = {"g_edges": None}

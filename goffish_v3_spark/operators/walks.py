@@ -78,16 +78,29 @@ def indexed_adjacency(edges: DataFrame) -> DataFrame:
 
 
 def random_walks(
-    edges: DataFrame, length: int = 4, num_walks: int = 1
+    edges: DataFrame,
+    length: int = 4,
+    num_walks: int = 1,
+    materialize: bool = False,
 ) -> DataFrame:
     """``(start_vid, walk, step, vid)`` — ``num_walks`` deterministic walks
     of ``length`` steps from EVERY vertex of ``edges(src, dst)``; step 0 is
     the start itself. Neighbor choice at each hop is
     ``mix(cur, step, walk) % out_degree(cur)`` over the dst-ordered
     adjacency index; a vertex with no out-edges repeats (the walk never
-    shortens). All-integer — the output is hash-exact across engines."""
+    shortens). All-integer — the output is hash-exact across engines.
+
+    ``materialize=True`` localCheckpoints the indexed adjacency and each
+    step's frontier (eager, executor-storage, GC-cleaned): without it the
+    union of per-step outputs re-derives step i's whole i-join chain per
+    branch — O(length²) joins; with it each hop runs once — O(length).
+    The lazy default keeps the single declarative plan (plan audit,
+    exchange reuse at small length); flip it on for long walks or big
+    graphs — results are identical either way (tested)."""
     _check_walk_params(length, num_walks)
     adj = indexed_adjacency(edges)
+    if materialize:
+        adj = adj.localCheckpoint(eager=True)
     verts = (
         edges.select(F.col("src").cast("long").alias("vid"))
         .unionByName(edges.select(F.col("dst").cast("long").alias("vid")))
@@ -117,7 +130,7 @@ def random_walks(
                 F.coalesce(F.col("dst"), F.col("cur")).alias("cur"),
             )
         )
-        state = nxt
+        state = nxt.localCheckpoint(eager=True) if materialize else nxt
         out = out.unionByName(
             state.select(
                 "start_vid",

@@ -87,3 +87,18 @@ def test_walks_param_validation(spark):
             random_walks(e, length=length, num_walks=num)
         with pytest.raises(ValueError):
             random_walks_sql("edges", length=length, num_walks=num)
+
+
+def test_materialize_mode_is_bit_identical(spark):
+    pairs = [(i, (i * 7 + 3) % 50) for i in range(50)] + [
+        (i, (i + 13) % 50) for i in range(50)
+    ]
+    e = _edges(spark, pairs)
+    lazy = sorted(
+        tuple(r) for r in random_walks(e, length=5, num_walks=2).collect()
+    )
+    mat = sorted(
+        tuple(r)
+        for r in random_walks(e, length=5, num_walks=2, materialize=True).collect()
+    )
+    assert lazy == mat
