@@ -408,15 +408,10 @@ FROM inter WHERE round(i / greatest(sa + sb - i, 1), 6) >= 0.5
 """
 
 
-def _repo_pagerank_sql(iters: int = PR_ITERS, personalized: bool = False) -> str:
-    """String-keyed replay of the full flagship pipeline on the committed
-    repos artifact: regexp reference extraction per language + #dep lines →
-    resolution against the file dimension → distinct directed edges →
-    unrolled PageRank → top 20 by (rank desc, repo, path).
-
-    ``personalized``: all teleport mass on the min-key vertex (string min
-    over the same ``repo || chr(0) || path`` keys the Spark side orders by)
-    — the similar-file-discovery variant."""
+def _repo_edges_ctes() -> list[str]:
+    """The repo-graph edge derivation (artifact scan → regexp reference
+    extraction → resolution → distinct string-keyed ``edges0``) as a CTE
+    prefix shared by every repo-graph oracle (PageRank, PPR, SCC)."""
     ext_case = (
         "CASE WHEN f.lang = 'python' THEN 'py' "
         "WHEN f.lang = 'java' THEN 'java' ELSE 'h' END"
@@ -426,7 +421,7 @@ def _repo_pagerank_sql(iters: int = PR_ITERS, personalized: bool = False) -> str
         r"WHEN f.lang = 'java' THEN 'import org\.pkg_\d+\.mod_(\d+);' "
         r"""ELSE '#include "pkg_\d+/mod_(\d+)\.h"' END"""
     )
-    ctes = [
+    return [
         f"repos AS MATERIALIZED (SELECT * FROM read_parquet('{REPO_ARTIFACT}/*.parquet'))",
         "files AS MATERIALIZED (SELECT repo, path, lang, content, "
         "repo || chr(0) || path AS key FROM repos)",
@@ -447,6 +442,35 @@ def _repo_pagerank_sql(iters: int = PR_ITERS, personalized: bool = False) -> str
   WHERE src_repo || chr(0) || src_path <> dst_repo || chr(0) || dst_path
     AND dst_repo || chr(0) || dst_path IN (SELECT key FROM files)
 )""",
+    ]
+
+
+def _repo_scc_sql() -> str:
+    """Ground-truth SCC oracle on the artifact-derived repo edges: mutual
+    reachability over a recursive-CTE closure (scc.scc_sql), keys split
+    back into (repo, path) columns."""
+    from goffish_v3_spark.operators.scc import scc_sql
+
+    inner = "WITH " + ",\n".join(_repo_edges_ctes()) + "\nSELECT src, dst FROM edges0"
+    return f"""
+SELECT split_part(vid, chr(0), 1) AS repo,
+       split_part(vid, chr(0), 2) AS path,
+       split_part(scc_id, chr(0), 1) AS scc_repo,
+       split_part(scc_id, chr(0), 2) AS scc_path
+FROM ({scc_sql(inner)})
+"""
+
+
+def _repo_pagerank_sql(iters: int = PR_ITERS, personalized: bool = False) -> str:
+    """String-keyed replay of the full flagship pipeline on the committed
+    repos artifact: regexp reference extraction per language + #dep lines →
+    resolution against the file dimension → distinct directed edges →
+    unrolled PageRank → top 20 by (rank desc, repo, path).
+
+    ``personalized``: all teleport mass on the min-key vertex (string min
+    over the same ``repo || chr(0) || path`` keys the Spark side orders by)
+    — the similar-file-discovery variant."""
+    ctes = _repo_edges_ctes() + [
         "verts AS MATERIALIZED (SELECT src AS vid FROM edges0 UNION SELECT dst FROM edges0)",
         "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts)",
         "deg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges0 GROUP BY src)",
@@ -1417,6 +1441,46 @@ def _q_edge_jaccard_copart(spark: SparkSession, sf: str) -> DataFrame:
     from goffish_v3_spark.operators.triangles import edge_jaccard
 
     return edge_jaccard(copart_edges(spark, sf))
+
+
+def _q_repo_scc(spark: SparkSession, sf: str) -> DataFrame:
+    """Strongly connected components of the repo file-dependency graph —
+    the cycle detector: a nontrivial SCC IS a circular-import group, the
+    lint a 10^12-file monorepo runs on every commit. FW-BW-Trim coloring
+    (operators/scc.py) over the string-keyed edges; labels = max member
+    key. The oracle is algorithm-independent ground truth: mutual
+    reachability over a recursive-CTE transitive closure on the identical
+    artifact-derived edges."""
+    from goffish_v3_spark.operators.scc import scc
+    from goffish_v3_spark.sources.ingest import ingest
+    from goffish_v3_spark.sources.synthetic import generate_repos
+
+    repos = generate_repos(spark, n_repos=5, files_per_repo=40, seed=42)
+    _ensure_repo_artifact(repos)
+    repos = spark.read.parquet(REPO_ARTIFACT)
+    graph = ingest(repos)
+    vk = graph.vertices.select(
+        "vid", F.concat_ws("\x00", F.col("repo"), F.col("path")).alias("key")
+    )
+    e = (
+        graph.edges.join(
+            vk.select(F.col("vid").alias("src"), F.col("key").alias("src_key")),
+            "src",
+        )
+        .join(
+            vk.select(F.col("vid").alias("dst"), F.col("key").alias("dst_key")),
+            "dst",
+        )
+        .select(F.col("src_key").alias("src"), F.col("dst_key").alias("dst"))
+    )
+    labels = scc(spark, e)
+    z = "\x00"
+    return labels.select(
+        F.substring_index(F.col("vid"), z, 1).alias("repo"),
+        F.substring_index(F.col("vid"), z, -1).alias("path"),
+        F.substring_index(F.col("scc_id"), z, 1).alias("scc_repo"),
+        F.substring_index(F.col("scc_id"), z, -1).alias("scc_path"),
+    )
 
 
 def _q_link_pred_copart(spark: SparkSession, sf: str) -> DataFrame:
@@ -2434,6 +2498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_partition_cs": _q_kmeans_partition_cs,
         "repo_pagerank_top20": _q_repo_pagerank,
         "repo_ppr_top20": _q_repo_ppr,
+        "repo_scc": _q_repo_scc,
         "doc_len_percentiles": _q_doc_len_percentiles,
         "doc_tokens": _q_doc_tokens,
         "doc_quality": _q_doc_quality,
@@ -2511,6 +2576,7 @@ def oracle_sql() -> dict[str, str]:
         "subgraph_pagerank_cs": _pagerank_sql(),
         "repo_pagerank_top20": _repo_pagerank_sql(),
         "repo_ppr_top20": _repo_pagerank_sql(personalized=True),
+        "repo_scc": _repo_scc_sql(),
         "doc_len_percentiles": DOC_LEN_PCTL_SQL,
         "doc_tokens": DOC_TOKENS_SQL,
         "doc_quality": DOC_QUALITY_SQL,
