@@ -461,6 +461,15 @@ FROM ({scc_sql(inner)})
 """
 
 
+def _scc_condensation_synth_sql() -> str:
+    from goffish_v3_spark.operators.scc import condensation_sql
+
+    return condensation_sql(
+        "SELECT i AS src, (3 * i + 1) % 402 AS dst "
+        "FROM (SELECT UNNEST(RANGE(0, 402)) AS i) WHERE i <> (3 * i + 1) % 402"
+    )
+
+
 def _repo_pagerank_sql(iters: int = PR_ITERS, personalized: bool = False) -> str:
     """String-keyed replay of the full flagship pipeline on the committed
     repos artifact: regexp reference extraction per language + #dep lines →
@@ -1483,6 +1492,26 @@ def _q_repo_scc(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_scc_condensation_synth(spark: SparkSession, sf: str) -> DataFrame:
+    """Condensation (SCC-contracted DAG) of the deterministic functional
+    graph i → (3i+1) mod 402 (3 | 402, so the map is non-injective:
+    cycles WITH tails hanging in), so
+    unlike `repo_scc` (one giant SCC) this exercises trim, multi-SCC
+    coloring, AND the contraction through the driver gate. Oracle =
+    ground-truth labels over the recursive closure, contracted in SQL."""
+    from goffish_v3_spark.operators.scc import condensation_edges
+
+    n = 402
+    e = (
+        spark.range(0, n)
+        .select(
+            F.col("id").alias("src"), ((F.col("id") * 3 + 1) % n).alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    return condensation_edges(spark, e)
+
+
 def _q_link_pred_copart(spark: SparkSession, sf: str) -> DataFrame:
     """Link-prediction candidate generation on the copart graph: for every
     part, the top-3 non-adjacent parts by shared co-order neighbors
@@ -2499,6 +2528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repo_pagerank_top20": _q_repo_pagerank,
         "repo_ppr_top20": _q_repo_ppr,
         "repo_scc": _q_repo_scc,
+        "scc_condensation_synth": _q_scc_condensation_synth,
         "doc_len_percentiles": _q_doc_len_percentiles,
         "doc_tokens": _q_doc_tokens,
         "doc_quality": _q_doc_quality,
@@ -2577,6 +2607,7 @@ def oracle_sql() -> dict[str, str]:
         "repo_pagerank_top20": _repo_pagerank_sql(),
         "repo_ppr_top20": _repo_pagerank_sql(personalized=True),
         "repo_scc": _repo_scc_sql(),
+        "scc_condensation_synth": _scc_condensation_synth_sql(),
         "doc_len_percentiles": DOC_LEN_PCTL_SQL,
         "doc_tokens": DOC_TOKENS_SQL,
         "doc_quality": DOC_QUALITY_SQL,

@@ -168,6 +168,10 @@ def scc(
     if rem_v.count() != 0:
         raise RuntimeError(f"scc: did not finish in {max_outer} outer rounds")
 
+    if not done:  # no (non-self-loop) edges at all
+        return e_all.select(
+            F.col("src").alias("vid"), F.col("src").alias("scc_id")
+        ).limit(0)
     out = done[0]
     for part in done[1:]:
         out = out.unionByName(part)
@@ -198,4 +202,45 @@ mut AS (
 SELECT v.vid, greatest(v.vid, coalesce(max(m.v), v.vid)) AS scc_id
 FROM verts v LEFT JOIN mut m ON m.u = v.vid
 GROUP BY v.vid
+"""
+
+
+def condensation_edges(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_outer: int = 30,
+    max_inner: int = 200,
+) -> DataFrame:
+    """``(src_scc, dst_scc)`` — the distinct edges of the condensation
+    (the DAG obtained by contracting every SCC to one node, labeled by
+    its max member). This is the meta-graph build-order view: a cycle-free
+    dependency structure over the circular-import groups :func:`scc`
+    found. One equi-join per endpoint against the label map plus a
+    distinct — the same shape as the undirected meta-graph operator."""
+    labels = scc(spark, edges, max_outer=max_outer, max_inner=max_inner)
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    return (
+        e.join(
+            labels.select(F.col("vid").alias("src"), F.col("scc_id").alias("src_scc")),
+            "src",
+        )
+        .join(
+            labels.select(F.col("vid").alias("dst"), F.col("scc_id").alias("dst_scc")),
+            "dst",
+        )
+        .filter(F.col("src_scc") != F.col("dst_scc"))
+        .select("src_scc", "dst_scc")
+        .distinct()
+    )
+
+
+def condensation_sql(edges_sql: str) -> str:
+    """ANSI-SQL twin of :func:`condensation_edges`, built on
+    :func:`scc_sql`'s ground-truth labels over the same edge set."""
+    return f"""
+WITH labels AS (SELECT * FROM ({scc_sql(edges_sql)})),
+e0 AS (SELECT DISTINCT src, dst FROM ({edges_sql}) WHERE src <> dst)
+SELECT DISTINCT la.scc_id AS src_scc, lb.scc_id AS dst_scc
+FROM e0 JOIN labels la ON e0.src = la.vid JOIN labels lb ON e0.dst = lb.vid
+WHERE la.scc_id <> lb.scc_id
 """

@@ -82,3 +82,39 @@ def test_raises_on_exhausted_outer_rounds(spark):
         for r in scc(spark, _edges(spark, pairs), max_outer=3).collect()
     }
     assert got == {5: 6, 6: 6, 1: 2, 2: 2}
+
+
+def test_empty_graph_returns_empty(spark):
+    e = _edges(spark, [(1, 1)])  # only a self-loop: no real edges
+    assert scc(spark, e).count() == 0
+
+
+def test_condensation_is_the_scc_dag(spark):
+    from goffish_v3_spark.operators.scc import condensation_edges
+
+    # cycle {1,2,3} -> 5 -> cycle {10,11}
+    pairs = [(1, 2), (2, 3), (3, 1), (3, 5), (5, 10), (10, 11), (11, 10)]
+    got = sorted(
+        (r.src_scc, r.dst_scc)
+        for r in condensation_edges(spark, _edges(spark, pairs)).collect()
+    )
+    assert got == [(3, 5), (5, 11)]
+
+
+def test_condensation_matches_duckdb_twin(spark):
+    from goffish_v3_spark.operators.scc import condensation_sql, condensation_edges
+
+    # functional graph i -> (3i+1) % n: one cycle per component + tails
+    n = 60
+    pairs = [(i, (3 * i + 1) % n) for i in range(n) if i != (3 * i + 1) % n]
+    got = sorted(
+        (r.src_scc, r.dst_scc)
+        for r in condensation_edges(spark, _edges(spark, pairs)).collect()
+    )
+    vals = ", ".join(f"({a}, {b})" for a, b in pairs)
+    sql = condensation_sql(f"SELECT * FROM (VALUES {vals}) AS t(src, dst)")
+    exp = sorted(
+        (int(a), int(b)) for a, b in duckdb.connect().execute(sql).fetchall()
+    )
+    assert got == exp
+    assert len(got) > 0  # the functional graph has tails into its cycles
