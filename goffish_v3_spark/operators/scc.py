@@ -29,8 +29,15 @@ the active subgraph, with ``localCheckpoint`` lineage barriers per round
 (the house iterative pattern) and driver-observed convergence counts.
 Worst case is an anti-ordered path (O(V) outer rounds) — trimming
 resolves exactly that shape in O(path/2) cheap passes instead, which is
-why the trim loop runs first and to fixpoint. ``max_outer``/``max_inner``
-raise loudly rather than silently truncate.
+why the trim loop runs first and to fixpoint. Honest round-count note:
+forward coloring and backward marking each converge in DIAMETER rounds
+of the remaining cyclic subgraph (max propagation moves one hop per
+round — a single huge cycle of length L costs L rounds; there is no
+pointer-jumping shortcut for directed reachability). That matches the
+published FW-BW behavior; dependency graphs have short cycles, but a
+pathological ring is latency-bound here exactly as it is in the
+reference-class systems. ``max_outer``/``max_inner`` raise loudly
+rather than silently truncate.
 """
 
 from __future__ import annotations
