@@ -65,9 +65,11 @@ def scc(
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
+    # vertex universe from the UNFILTERED edges: a vertex whose only edge
+    # is a self-loop is still a (singleton) SCC and must get a row
     rem_v = _ckpt(
-        e_all.select(F.col("src").alias("vid"))
-        .unionByName(e_all.select(F.col("dst").alias("vid")))
+        edges.select(F.col("src").alias("vid"))
+        .unionByName(edges.select(F.col("dst").alias("vid")))
         .distinct()
     )
     rem_e = e_all
@@ -194,10 +196,11 @@ def scc_sql(edges_sql: str) -> str:
     ``src, dst``; closure size is O(V²) so this is the small-scale oracle
     companion, same stance as the exact meta-diameter."""
     return f"""
-WITH RECURSIVE e AS (
-  SELECT DISTINCT src, dst FROM ({edges_sql}) WHERE src <> dst
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT src, dst FROM ({edges_sql})
 ),
-verts AS (SELECT src AS vid FROM e UNION SELECT dst FROM e),
+e AS (SELECT src, dst FROM e0 WHERE src <> dst),
+verts AS (SELECT src AS vid FROM e0 UNION SELECT dst FROM e0),
 r(s, d) AS (
   SELECT src AS s, dst AS d FROM e
   UNION
@@ -246,8 +249,8 @@ def condensation_sql(edges_sql: str) -> str:
     :func:`scc_sql`'s ground-truth labels over the same edge set."""
     return f"""
 WITH labels AS (SELECT * FROM ({scc_sql(edges_sql)})),
-e0 AS (SELECT DISTINCT src, dst FROM ({edges_sql}) WHERE src <> dst)
+ce0 AS (SELECT DISTINCT src, dst FROM ({edges_sql}) WHERE src <> dst)
 SELECT DISTINCT la.scc_id AS src_scc, lb.scc_id AS dst_scc
-FROM e0 JOIN labels la ON e0.src = la.vid JOIN labels lb ON e0.dst = lb.vid
+FROM ce0 JOIN labels la ON ce0.src = la.vid JOIN labels lb ON ce0.dst = lb.vid
 WHERE la.scc_id <> lb.scc_id
 """

@@ -84,9 +84,22 @@ def test_raises_on_exhausted_outer_rounds(spark):
     assert got == {5: 6, 6: 6, 1: 2, 2: 2}
 
 
-def test_empty_graph_returns_empty(spark):
-    e = _edges(spark, [(1, 1)])  # only a self-loop: no real edges
-    assert scc(spark, e).count() == 0
+def test_self_loop_vertex_is_a_singleton_scc(spark):
+    # a vertex whose ONLY edge is a self-loop still gets a row
+    got = _labels(spark, [(1, 1), (2, 3)])
+    assert got == {1: 1, 2: 2, 3: 3}
+
+
+def test_self_loop_matches_duckdb_oracle(spark):
+    pairs = [(1, 1), (2, 3), (3, 2)]
+    got = sorted(_labels(spark, pairs).items())
+    vals = ", ".join(f"({a}, {b})" for a, b in pairs)
+    sql = scc_sql(f"SELECT * FROM (VALUES {vals}) AS t(src, dst)")
+    exp = sorted(
+        (int(r[0]), int(r[1]))
+        for r in duckdb.connect().execute(sql).fetchall()
+    )
+    assert got == exp == [(1, 1), (2, 3), (3, 3)]
 
 
 def test_condensation_is_the_scc_dag(spark):
