@@ -400,14 +400,16 @@ def main() -> None:
     )
     # link prediction shares the wedge join's quadratic risk (wedges ∝
     # Σ deg²) — benched on the same graph as the triangle suite so the
-    # two walls are directly comparable
+    # two walls are directly comparable. sf0.1 copart is DENSE (avg deg
+    # ~120, no hubs): support 1 yields 101 M candidate pairs; min_common=3
+    # is the production support threshold (8.9 M pairs, exact above it)
     from goffish_v3_spark.operators.linkpred import (
         link_prediction_common_neighbors,
     )
 
     extra["link_pred_rows"] = b.run(
-        "link_pred_copart",
-        lambda: link_prediction_common_neighbors(cp, k=3).count(),
+        "link_pred_copart_s3",
+        lambda: link_prediction_common_neighbors(cp, k=3, min_common=3).count(),
     )
     extra["copart_edges"] = n_cp
     cp.unpersist()

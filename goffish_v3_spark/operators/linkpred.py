@@ -27,15 +27,28 @@ from pyspark.sql import functions as F
 
 
 def link_prediction_common_neighbors(
-    edges: DataFrame, k: int = 3, max_center_degree: int | None = None
+    edges: DataFrame,
+    k: int = 3,
+    max_center_degree: int | None = None,
+    min_common: int = 1,
 ) -> DataFrame:
     """``(vid, rec_vid, common_neighbors, rank)`` — for every vertex, the
     top ``k`` non-adjacent vertices by shared-neighbor count (ties broken
     by ascending rec_vid; the total order is pinned so top-k is unique).
     ``edges(src, dst)`` is symmetrized and deduplicated internally;
-    self-pairs and existing edges are excluded."""
+    self-pairs and existing edges are excluded.
+
+    ``min_common`` is the support threshold (keep pairs sharing ≥ that
+    many neighbors) — the scale knob for DENSE graphs, where the wedge
+    volume is Σ deg² regardless of hubs and the candidate-pair table is
+    the downstream cost (sf0.1 copart: 101 M pairs at support 1, 8.9 M at
+    support 3). It filters AFTER the count, so surviving rows are exact;
+    a vertex whose every candidate is below support simply emits no rows
+    (in recommendation terms: no candidate worth showing)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if min_common < 1:
+        raise ValueError(f"min_common must be >= 1, got {min_common}")
     if max_center_degree is not None and max_center_degree < 1:
         raise ValueError(
             f"max_center_degree must be >= 1, got {max_center_degree}"
@@ -52,17 +65,29 @@ def link_prediction_common_neighbors(
         deg = und.groupBy(F.col("u").alias("c")).agg(F.count("*").alias("d"))
         keep = deg.filter(F.col("d") <= max_center_degree).select("c")
         centers = centers.join(F.broadcast(keep), "c", "left_semi")
+    # canonical halving: common-neighbor counts are symmetric, so count
+    # each unordered pair once (a < b) and mirror after the aggregate —
+    # halves the wedge rows through the groupBy shuffle, exactly
     wedges = (
         centers.alias("x")
         .join(
             centers.select(F.col("c").alias("c2"), F.col("a").alias("b")).alias("y"),
             F.col("x.c") == F.col("y.c2"),
         )
-        .filter(F.col("x.a") != F.col("y.b"))
+        .filter(F.col("x.a") < F.col("y.b"))
         .select(F.col("x.a").alias("vid"), F.col("y.b").alias("rec_vid"))
     )
-    scored = wedges.groupBy("vid", "rec_vid").agg(
+    half = wedges.groupBy("vid", "rec_vid").agg(
         F.count("*").alias("common_neighbors")
+    )
+    if min_common > 1:
+        half = half.filter(F.col("common_neighbors") >= min_common)
+    scored = half.unionByName(
+        half.select(
+            F.col("rec_vid").alias("vid"),
+            F.col("vid").alias("rec_vid"),
+            "common_neighbors",
+        )
     )
     non_edges = scored.join(
         und.select(F.col("u").alias("vid"), F.col("v").alias("rec_vid")),
@@ -80,12 +105,17 @@ def link_prediction_common_neighbors(
 
 
 def link_prediction_sql(
-    edges_sql: str, k: int = 3, max_center_degree: int | None = None
+    edges_sql: str,
+    k: int = 3,
+    max_center_degree: int | None = None,
+    min_common: int = 1,
 ) -> str:
     """ANSI-SQL twin of :func:`link_prediction_common_neighbors`.
     ``edges_sql`` must yield columns ``src, dst``."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if min_common < 1:
+        raise ValueError(f"min_common must be >= 1, got {min_common}")
     if max_center_degree is not None and max_center_degree < 1:
         raise ValueError(
             f"max_center_degree must be >= 1, got {max_center_degree}"
@@ -109,6 +139,7 @@ scored AS (
   SELECT x.a AS vid, y.a AS rec_vid, count(*) AS common_neighbors
   FROM centers x JOIN centers y ON x.c = y.c AND x.a <> y.a
   GROUP BY x.a, y.a
+  HAVING count(*) >= {min_common}
 ),
 non_edges AS (
   SELECT s.* FROM scored s

@@ -108,3 +108,25 @@ def test_param_validation(spark):
         link_prediction_sql("edges", k=0)
     with pytest.raises(ValueError):
         link_prediction_sql("edges", k=1, max_center_degree=-1)
+
+
+def test_min_common_support_matches_duckdb_twin(spark):
+    pairs = [(i, (i * 5 + 2) % 25) for i in range(25)] + [
+        (i, (i + 4) % 25) for i in range(25)
+    ] + [(i, (i + 9) % 25) for i in range(25)]
+    e = _edges(spark, pairs)
+    got = sorted(
+        tuple(r)
+        for r in link_prediction_common_neighbors(
+            e, k=3, min_common=2
+        ).collect()
+    )
+    vals = ", ".join(f"({s}, {d})" for s, d in pairs)
+    sql = link_prediction_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(src, dst)", k=3, min_common=2
+    )
+    exp = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == exp
+    assert all(r[2] >= 2 for r in got) and got  # threshold held, non-empty
+    with pytest.raises(ValueError):
+        link_prediction_common_neighbors(e, k=3, min_common=0)
