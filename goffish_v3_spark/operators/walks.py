@@ -60,10 +60,24 @@ def _mix(k) -> "F.Column":
     return F.pmod(h1 * F.lit(_A2) + F.lit(_C2), F.lit(MOD))
 
 
+def _check_integer_ids(edges: DataFrame) -> None:
+    """The walk hash mixes ids arithmetically, so ids must be integral —
+    a silent cast("long") would turn string keys into NULLs. Raise loudly
+    instead (map string keys to dense ids first, e.g. via xxhash64)."""
+    for c in ("src", "dst"):
+        t = edges.schema[c].dataType.typeName()
+        if t not in ("long", "integer", "short", "byte"):
+            raise TypeError(
+                f"random_walks needs integral vertex ids; column {c!r} is "
+                f"{t} — map keys to ids first"
+            )
+
+
 def indexed_adjacency(edges: DataFrame) -> DataFrame:
     """``(src, deg, idx, dst)`` — distinct out-edges, numbered 0..deg-1 per
     source in dst order. One shuffle; persist this hash-partitioned on
     ``src`` when running many walk batches."""
+    _check_integer_ids(edges)
     adj = edges.select(
         F.col("src").cast("long").alias("src"),
         F.col("dst").cast("long").alias("dst"),

@@ -102,3 +102,11 @@ def test_materialize_mode_is_bit_identical(spark):
         for r in random_walks(e, length=5, num_walks=2, materialize=True).collect()
     )
     assert lazy == mat
+
+
+def test_string_ids_raise_loudly(spark):
+    e = spark.createDataFrame(
+        [("a", "b")], "src string, dst string"
+    )
+    with pytest.raises(TypeError, match="integral"):
+        random_walks(e, length=2)
