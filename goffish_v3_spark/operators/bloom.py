@@ -31,7 +31,7 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .sketch import _HLL_M31, _hll_mix_steps, _render_mix
+from .sketch import _HLL_M31, _check_integral_key, _hll_mix_steps, _render_mix
 
 
 def _check_params(m: int, k: int) -> None:
@@ -71,6 +71,7 @@ def bloom_bits(
     Kirsch–Mitzenmacher double hashing: ``(h1 + i·h2) mod m`` for
     ``i in [0, k)`` — k positions from two mixer evaluations."""
     _check_params(m, k)
+    _check_integral_key(df, key_col, "bloom_bits")
     keys = df.select(F.col(key_col).alias("key")).distinct()
     d = _with_h1_h2(keys, "key", seed, ["key"])
     return (
@@ -95,6 +96,7 @@ def bloom_prefilter(
     semi-join (false positives possible, false negatives impossible), so
     following it with the real join yields the plain-join result."""
     _check_params(m, k)
+    _check_integral_key(fact, fact_key, "bloom_prefilter")
     out_cols = list(fact.columns)
     if "h1" in out_cols or "h2" in out_cols:
         raise ValueError("fact must not already carry h1/h2 columns")

@@ -23,6 +23,19 @@ from pyspark.sql import functions as F
 from .sampling import MOD, bucket_sql, hash_bucket
 
 
+def _check_integral_key(df: DataFrame, key_col: str, op: str) -> None:
+    """Every sketch here mixes the key arithmetically; a silent
+    cast("long") on a string column yields NULL hashes and a quietly
+    wrong sketch. Raise loudly instead (map string keys to ids first,
+    e.g. via xxhash64 — or polyhash for an oracle-replayable mapping)."""
+    t = df.schema[key_col].dataType.typeName()
+    if t not in ("long", "integer", "short", "byte"):
+        raise TypeError(
+            f"{op} needs an integral key column; {key_col!r} is {t} - "
+            "map keys to ids first"
+        )
+
+
 def kmv_distinct_estimate(
     df: DataFrame, key_col: str, k: int = 64, seed: int = 0
 ) -> DataFrame:
@@ -37,6 +50,7 @@ def kmv_distinct_estimate(
     """
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
+    _check_integral_key(df, key_col, "kmv_distinct_estimate")
     hashes = (
         df.select(hash_bucket(key_col, seed).alias("h"))
         .distinct()
@@ -258,6 +272,7 @@ def hll_registers(
     rank = R - bitlen(rest) + 1 via the binary-string length (``bin()`` on
     both engines — exact integer semantics, no log2 float round-trip).
     """
+    _check_integral_key(df, key_col, "hll_registers")
     m, r_bits = _hll_geometry(m_bits)
     d = df.select(
         F.pmod(F.col(key_col).cast("long"), F.lit(_HLL_M31)).alias("h")
@@ -351,6 +366,7 @@ def hll_group_distinct(
     """
     if not group_cols:
         raise ValueError("group_cols must be non-empty; use hll_distinct_estimate")
+    _check_integral_key(df, key_col, "hll_group_distinct")
     m, r_bits = _hll_geometry(m_bits)
     d = df.select(
         *group_cols, F.pmod(F.col(key_col).cast("long"), F.lit(_HLL_M31)).alias("h")
@@ -461,6 +477,8 @@ def kmv_set_relations(
     inputs; see :func:`kmv_set_sql` for the oracle twin."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
+    _check_integral_key(df_a, key_a, "kmv_set_relations")
+    _check_integral_key(df_b, key_b, "kmv_set_relations")
     ha = df_a.select(
         hash_bucket(key_a, seed).alias("h"),
         F.lit(1).alias("in_a"),

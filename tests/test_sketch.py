@@ -302,3 +302,27 @@ def test_kmv_set_relations_rejects_bad_k(spark):
     df = spark.range(0, 10).withColumnRenamed("id", "u")
     with pytest.raises(ValueError):
         kmv_set_relations(df, "u", df, "u", k=1)
+
+
+def test_sketches_reject_string_keys(spark):
+    from goffish_v3_spark.operators.bloom import bloom_bits, bloom_prefilter
+    from goffish_v3_spark.operators.sketch import (
+        hll_distinct_estimate,
+        hll_group_distinct,
+        kmv_distinct_estimate,
+        kmv_set_relations,
+    )
+
+    sdf = spark.createDataFrame([("a", 1)], "u string, g long")
+    ldf = spark.range(0, 5).withColumnRenamed("id", "u")
+    for fn in (
+        lambda: kmv_distinct_estimate(sdf, "u"),
+        lambda: kmv_set_relations(sdf, "u", ldf, "u"),
+        lambda: kmv_set_relations(ldf, "u", sdf, "u"),
+        lambda: hll_distinct_estimate(sdf, "u"),
+        lambda: hll_group_distinct(sdf, ["g"], "u"),
+        lambda: bloom_bits(sdf, "u"),
+        lambda: bloom_prefilter(sdf, "u", ldf.toDF("pos")),
+    ):
+        with pytest.raises(TypeError, match="integral"):
+            fn()
